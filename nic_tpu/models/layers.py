@@ -1,0 +1,102 @@
+"""Flax building blocks: strided signal convolutions and GDN.
+
+TPU-native counterparts of tfc.SignalConv2D / tfc.GDN as configured by the
+reference transforms (nn_models.py:14-163). Downsampling uses
+``lax.conv_general_dilated`` with SAME zero padding (matching tfc's
+``same_zeros`` + ``corr=True`` output shape ceil(H/s)); upsampling uses
+``lax.conv_transpose`` with SAME padding (output H*s). NHWC layout
+throughout — the layout XLA:TPU prefers for image convs.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from nic_tpu.ops.bounds import lower_bound
+from nic_tpu.ops.gdn import gdn as gdn_op
+
+
+class SignalConv(nn.Module):
+    """2-D convolution with integer down- or up-sampling.
+
+    Equivalent capability to tfc.SignalConv2D with ``padding='same_zeros'``:
+    ``strides_down=s`` -> strided conv (corr), output ceil(H/s);
+    ``strides_up=s``   -> transposed conv, output H*s.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (5, 5)
+    strides_down: int = 1
+    strides_up: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.strides_down > 1 and self.strides_up > 1:
+            raise ValueError("Cannot both down- and up-sample.")
+        in_ch = x.shape[-1]
+        kernel_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+        if self.strides_up > 1:
+            w = self.param(
+                "kernel", kernel_init, (*self.kernel, in_ch, self.features), jnp.float32
+            )
+            y = lax.conv_transpose(
+                x,
+                w,
+                strides=(self.strides_up, self.strides_up),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            w = self.param(
+                "kernel", kernel_init, (*self.kernel, in_ch, self.features), jnp.float32
+            )
+            y = lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(self.strides_down, self.strides_down),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization layer (tfc.GDN capability).
+
+    Parameters use the square-root "nonnegative" reparameterization with a
+    small pedestal so that gradient descent keeps the effective beta/gamma
+    nonnegative: the stored variable v maps to ``lower_bound(v, b)^2 - p``
+    with pedestal p = offset^2 and bound b = sqrt(minimum + p).
+    Initial effective values: beta = 1, gamma = 0.1 * I.
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        pedestal = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        def beta_init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.full(shape, (1.0 + pedestal) ** 0.5, dtype)
+
+        def gamma_init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.sqrt(0.1 * jnp.eye(shape[0], dtype=dtype) + pedestal)
+
+        beta_v = self.param("beta", beta_init, (c,))
+        gamma_v = self.param("gamma", gamma_init, (c, c))
+        beta = jnp.square(lower_bound(beta_v, beta_bound)) - pedestal
+        gamma = jnp.square(lower_bound(gamma_v, gamma_bound)) - pedestal
+        return gdn_op(x, beta, gamma, inverse=self.inverse)

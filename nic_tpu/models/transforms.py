@@ -1,0 +1,106 @@
+"""The four convolutional transforms of the mean-scale hyperprior model.
+
+Architecture parity with /root/reference/nn_models.py:
+  AnalysisTransform            nn_models.py:5-36   (4x 5x5/down2, GDN, last linear)
+  SynthesisTransform           nn_models.py:39-70  (4x 5x5/up2, IGDN, last 3ch linear)
+  HyperAnalysisTransform       nn_models.py:73-103 (3x3/s1 + 5x5/down2 x2, relu,
+                                                    last bias-free linear)
+  HyperSynthesisTransform      nn_models.py:106-136 (unused symmetric variant)
+  MBT2018HyperSynthesisTransform nn_models.py:140-170 (5x5/up2 N -> 5x5/up2 1.5N
+                                                    -> 3x3/s1 out, relu)
+
+Down/up factors: g_a downsamples 16x, h_a another 4x (total 64x); all scripts
+rely on these strides for shape bookkeeping.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nic_tpu.models.layers import GDN, SignalConv
+
+
+class AnalysisTransform(nn.Module):
+    """Image -> latent encoder g_a (nn_models.py:5-36)."""
+
+    num_filters: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = SignalConv(self.num_filters, (5, 5), strides_down=2, name=f"layer_{i}")(x)
+            x = GDN(name=f"gdn_{i}")(x)
+        x = SignalConv(self.num_filters, (5, 5), strides_down=2, name="layer_3")(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    """Latent -> image decoder g_s (nn_models.py:39-70)."""
+
+    num_filters: int
+
+    @nn.compact
+    def __call__(self, y):
+        for i in range(3):
+            y = SignalConv(self.num_filters, (5, 5), strides_up=2, name=f"layer_{i}")(y)
+            y = GDN(inverse=True, name=f"igdn_{i}")(y)
+        y = SignalConv(3, (5, 5), strides_up=2, name="layer_3")(y)
+        return y
+
+
+class HyperAnalysisTransform(nn.Module):
+    """y -> z hyper-encoder h_a (nn_models.py:73-103).
+
+    ``num_output_filters`` doubles to 2N for the bits-back models, which emit
+    a posterior mean and log-variance (mbt2018_bb.py:58).
+    """
+
+    num_filters: int
+    num_output_filters: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, y):
+        out = self.num_output_filters or self.num_filters
+        y = nn.relu(SignalConv(self.num_filters, (3, 3), strides_down=1, name="layer_0")(y))
+        y = nn.relu(SignalConv(self.num_filters, (5, 5), strides_down=2, name="layer_1")(y))
+        y = SignalConv(out, (5, 5), strides_down=2, use_bias=False, name="layer_2")(y)
+        return y
+
+
+class HyperSynthesisTransform(nn.Module):
+    """Symmetric z -> (mu, sigma) decoder variant (nn_models.py:106-136).
+
+    Kept for API parity; the models actually use MBT2018HyperSynthesisTransform.
+    """
+
+    num_filters: int
+    num_output_filters: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, z):
+        out = self.num_output_filters or self.num_filters
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_0")(z))
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_1")(z))
+        z = SignalConv(out, (3, 3), strides_up=1, name="layer_2")(z)
+        return z
+
+
+class MBT2018HyperSynthesisTransform(nn.Module):
+    """z -> (mu, sigma) decoder used everywhere (nn_models.py:140-170).
+
+    Middle layer widens to 1.5N channels per Table 1 of Minnen et al. 2018.
+    """
+
+    num_filters: int
+    num_output_filters: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, z):
+        out = self.num_output_filters or self.num_filters
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_0")(z))
+        z = nn.relu(
+            SignalConv(int(self.num_filters * 1.5), (5, 5), strides_up=2, name="layer_1")(z)
+        )
+        z = SignalConv(out, (3, 3), strides_up=1, name="layer_2")(z)
+        return z

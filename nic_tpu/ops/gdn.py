@@ -1,0 +1,29 @@
+"""Generalized divisive normalization, TPU-first.
+
+Functional core of tfc.GDN as used by the transforms (nn_models.py:17-63).
+The channel mixing ``sum_i gamma[i, j] * x_i^2`` is expressed as a matmul so
+XLA places it on the MXU and fuses the surrounding elementwise ops; x^2,
+rsqrt and the final multiply are VPU work fused into the same kernel.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def gdn(x, beta, gamma, inverse: bool = False):
+    """Apply (inverse) GDN over the channel-last axis.
+
+    y_j = x_j / sqrt(beta_j + sum_i gamma[i, j] * x_i^2)   (inverse: multiply)
+
+    Args:
+      x: [..., C] activations.
+      beta: [C] nonnegative offsets.
+      gamma: [C, C] nonnegative mixing weights.
+      inverse: if True computes IGDN (synthesis direction).
+    """
+    norm = jnp.matmul(
+        jnp.square(x), gamma, precision=lax.Precision.HIGHEST
+    ) + beta
+    if inverse:
+        return x * jnp.sqrt(norm)
+    return x * lax.rsqrt(norm)
