@@ -1,0 +1,190 @@
+// Host-side rANS entropy coder for nic_tpu.
+//
+// TPU-native replacement for the C++ range-coder kernels the reference pulls
+// in through tensorflow-compression (RangeEncode/RangeDecode, used via
+// entropy_bottleneck.compress / conditional_bottleneck.compress,
+// /root/reference/mbt2018.py:84-85, 269-280). Written from scratch:
+// a byte-renormalized rANS with per-symbol CDF-row indexing and an
+// escape-symbol + bypass path for out-of-range values, so any integer
+// latent round-trips losslessly regardless of the modeled support.
+//
+// Conventions:
+//   - Each CDF row r has cdf_sizes[r] symbol slots; the row stores
+//     cdf_sizes[r] + 1 cumulative values with cdf[0] == 0 and
+//     cdf[size] == 1 << precision. Every slot must have nonzero frequency.
+//   - The LAST slot of each row (index size-1) is the escape symbol.
+//     In-range symbols are 0 .. size-2. Out-of-range symbols are coded as
+//     escape followed by a zigzagged overflow value in 4-bit bypass chunks
+//     (3 payload bits + 1 continuation bit per chunk).
+//   - rANS is LIFO: symbols are encoded in reverse and the byte stream is
+//     emitted so the decoder reads forward.
+//
+// Build: g++ -O3 -shared -fPIC rans.cpp -o librans.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kRansL = 1u << 23;  // lower bound of the state interval
+
+struct Op {
+  uint32_t start;
+  uint32_t freq;
+};
+
+inline uint32_t zigzag(int64_t v) {
+  // 0,-1,1,-2,2,... -> 0,1,2,3,4,...
+  return static_cast<uint32_t>((v << 1) ^ (v >> 63));
+}
+
+inline int64_t unzigzag(uint32_t z) {
+  return static_cast<int64_t>(z >> 1) ^ -static_cast<int64_t>(z & 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encodes n symbols. Returns number of bytes written, or -1 if `capacity`
+// is too small, -2 on invalid inputs.
+int64_t rans_encode(const int32_t* symbols, const int32_t* indexes, int64_t n,
+                    const uint32_t* cdfs, int64_t stride,
+                    const int32_t* cdf_sizes, int32_t precision, uint8_t* out,
+                    int64_t capacity) {
+  if (precision < 8 || precision > 16) return -2;
+  const uint32_t prec_total = 1u << precision;
+
+  // Build the forward op list (symbol ops + bypass chunk ops), then encode
+  // it in reverse (rANS is LIFO).
+  std::vector<Op> ops;
+  ops.reserve(static_cast<size_t>(n) + 16);
+  const uint32_t bypass_freq = prec_total >> 4;  // 4-bit uniform chunks
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t row = indexes[i];
+    const uint32_t* cdf = cdfs + row * stride;
+    const int32_t size = cdf_sizes[row];
+    if (size < 2 || cdf[size] != prec_total) return -2;
+    int64_t s = symbols[i];
+    uint32_t overflow = 0;
+    bool escaped = false;
+    if (s < 0) {
+      overflow = zigzag(s);  // negative -> odd codes
+      escaped = true;
+    } else if (s >= size - 1) {
+      overflow = zigzag(s - (size - 1));  // 0, 2, 4, ... even codes? no:
+      // zigzag(nonneg k) = 2k (even codes); negatives got odd. Bijective.
+      escaped = true;
+    }
+    const int32_t slot = escaped ? size - 1 : static_cast<int32_t>(s);
+    ops.push_back({cdf[slot], cdf[slot + 1] - cdf[slot]});
+    if (escaped) {
+      // Emit 4-bit chunks little-endian (low chunk first in decode order).
+      uint32_t z = overflow;
+      while (true) {
+        uint32_t chunk = z & 7u;
+        z >>= 3;
+        if (z != 0) chunk |= 8u;  // continuation bit
+        ops.push_back({chunk * bypass_freq, bypass_freq});
+        if (z == 0) break;
+      }
+    }
+  }
+
+  // Reverse-encode into a byte buffer (emitted back-to-front).
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(n) * 2 + 32);
+  uint32_t state = kRansL;
+  for (size_t k = ops.size(); k-- > 0;) {
+    const Op& op = ops[k];
+    // Renormalize: keep state < ((L >> precision) << 8) * freq.
+    const uint32_t x_max = ((kRansL >> precision) << 8) * op.freq;
+    while (state >= x_max) {
+      buf.push_back(static_cast<uint8_t>(state & 0xffu));
+      state >>= 8;
+    }
+    state = ((state / op.freq) << precision) + (state % op.freq) + op.start;
+  }
+  // Flush the 32-bit state (little-endian in reversed buffer).
+  for (int b = 3; b >= 0; --b)
+    buf.push_back(static_cast<uint8_t>((state >> (8 * (3 - b))) & 0xffu));
+
+  const int64_t total = static_cast<int64_t>(buf.size());
+  if (total > capacity) return -1;
+  // The buffer was built back-to-front; reverse so decode reads forward.
+  for (int64_t i = 0; i < total; ++i) out[i] = buf[total - 1 - i];
+  return total;
+}
+
+// Decodes n symbols; returns n on success, negative on error.
+int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
+                    const int32_t* indexes, int64_t n, const uint32_t* cdfs,
+                    int64_t stride, const int32_t* cdf_sizes,
+                    int32_t precision, int32_t* out_symbols) {
+  if (precision < 8 || precision > 16) return -2;
+  if (nbytes < 4) return -3;
+  const uint32_t prec_total = 1u << precision;
+  const uint32_t mask = prec_total - 1;
+  const uint32_t bypass_bits = precision - 4;
+
+  int64_t pos = 0;
+  uint32_t state = 0;
+  for (int b = 0; b < 4; ++b) state = (state << 8) | bytes[pos++];
+
+  auto pull = [&](uint32_t freq, uint32_t start, uint32_t slot) {
+    state = freq * (state >> precision) + slot - start;
+    while (state < kRansL) {
+      if (pos >= nbytes) {
+        // Stream exhausted: pad with zeros (matches encoder flush).
+        state <<= 8;
+      } else {
+        state = (state << 8) | bytes[pos++];
+      }
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t row = indexes[i];
+    const uint32_t* cdf = cdfs + row * stride;
+    const int32_t size = cdf_sizes[row];
+    if (size < 2 || cdf[size] != prec_total) return -2;
+
+    const uint32_t slot = state & mask;
+    // Binary search: find s with cdf[s] <= slot < cdf[s+1].
+    int32_t lo = 0, hi = size;
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) >> 1;
+      if (cdf[mid] <= slot) lo = mid;
+      else hi = mid;
+    }
+    const int32_t s = lo;
+    pull(cdf[s + 1] - cdf[s], cdf[s], slot);
+
+    if (s == size - 1) {
+      // Escape: read zigzagged overflow in 4-bit chunks.
+      uint32_t z = 0;
+      int shift = 0;
+      while (true) {
+        const uint32_t chunk_slot = state & mask;
+        const uint32_t chunk = chunk_slot >> bypass_bits;
+        pull(prec_total >> 4, chunk << bypass_bits, chunk_slot);
+        z |= (chunk & 7u) << shift;
+        shift += 3;
+        if (!(chunk & 8u)) break;
+        if (shift > 60) return -4;
+      }
+      const int64_t v = unzigzag(z);
+      // Negative v <=> odd zigzag code <=> the symbol was below the range;
+      // nonnegative v was an overflow of (size-1) or more above it.
+      out_symbols[i] = v < 0 ? static_cast<int32_t>(v)
+                             : static_cast<int32_t>(v + (size - 1));
+    } else {
+      out_symbols[i] = s;
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,38 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-device (SURVEY.md section 2.3); the TPU-native design
+scales by data parallelism over ICI: batches are sharded along a 1-D 'data'
+mesh axis, parameters are replicated, and XLA inserts the gradient
+all-reduce. Works identically on a real TPU pod slice and on the fake
+8-device CPU mesh used in tests.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over the first ``num_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch sharded along the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))

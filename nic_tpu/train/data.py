@@ -1,0 +1,99 @@
+"""Training input pipeline: glob -> decode -> random crop -> batch -> prefetch.
+
+Host-side counterpart of the tf.data pipeline in tf_boilerplate.py:19-35:
+shuffled repeating file stream, PNG or .npy decode, random crop to
+``patchsize``, fixed batch, background prefetching. Pure
+numpy/PIL + worker threads, feeding device-put'ed sharded batches so the TPU
+never waits on PNG decode.
+"""
+
+import glob as globlib
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+class PatchPipeline:
+    """Infinite stream of [B, P, P, 3] float32 batches in [0, 1]."""
+
+    def __init__(
+        self,
+        train_glob: str,
+        batchsize: int = 8,
+        patchsize: int = 256,
+        num_threads: int = 8,
+        prefetch: int = 32,
+        seed: int = 0,
+    ):
+        self.files: List[str] = sorted(globlib.glob(train_glob))
+        if not self.files:
+            raise RuntimeError(f"No training images found with glob '{train_glob}'.")
+        self.batchsize = batchsize
+        self.patchsize = patchsize
+        self.seed = seed
+        self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, args=(i, num_threads), daemon=True)
+            for i in range(num_threads)
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ------------------------------------------------------------------ impl
+
+    def _load(self, path: str) -> Optional[np.ndarray]:
+        try:
+            if path.endswith(".npy"):
+                img = np.load(path).astype(np.float32)
+                if img.max() > 1.5:
+                    img = img / 255.0
+            else:
+                from PIL import Image
+
+                img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+            return img
+        except Exception:
+            return None
+
+    def _random_crop(self, img: np.ndarray, rng: np.random.Generator) -> Optional[np.ndarray]:
+        p = self.patchsize
+        h, w = img.shape[:2]
+        if h < p or w < p:
+            return None
+        i = rng.integers(0, h - p + 1)
+        j = rng.integers(0, w - p + 1)
+        return img[i : i + p, j : j + p, :]
+
+    def _worker(self, worker_id: int, num_workers: int):
+        rng = np.random.default_rng(self.seed + worker_id)
+        while not self._stop.is_set():
+            batch = []
+            while len(batch) < self.batchsize:
+                path = self.files[rng.integers(0, len(self.files))]
+                img = self._load(path)
+                if img is None:
+                    continue
+                crop = self._random_crop(img, rng)
+                if crop is not None:
+                    batch.append(crop)
+            out = np.stack(batch).astype(np.float32)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(out, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    # ------------------------------------------------------------------- api
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,108 @@
+"""Trainer tests: sharded steps on the fake 8-device mesh, checkpoint resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nic_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from nic_tpu.train.trainer import TrainConfig, Trainer
+
+
+def make_cfg(tmp_path, **kw):
+    defaults = dict(
+        model="mbt2018",
+        num_filters=4,
+        lmbda=0.01,
+        batchsize=8,
+        patchsize=64,
+        last_step=4,
+        checkpoint_dir=str(tmp_path),
+        log_every=1,
+        save_checkpoint_secs=10_000,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def batches(cfg, n=100):
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        yield rng.random((cfg.batchsize, cfg.patchsize, cfg.patchsize, 3), dtype=np.float32)
+
+
+class TestTrainer:
+    def test_runs_on_8_device_mesh(self, tmp_path):
+        assert jax.device_count() == 8
+        cfg = make_cfg(tmp_path)
+        trainer = Trainer(cfg)
+        state = trainer.fit(iter(batches(cfg)), verbose=False)
+        assert int(state.step) == 4
+        metrics_file = os.path.join(trainer.save_dir, "metrics.jsonl")
+        assert os.path.exists(metrics_file)
+
+    def test_loss_decreases(self, tmp_path):
+        cfg = make_cfg(tmp_path, last_step=30, lmbda=0.1, log_every=30)
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        step_fn = trainer.step_fn
+        from nic_tpu.parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(trainer.mesh)
+        losses = []
+        it = iter(batches(cfg))
+        # Fixed batch so the objective is deterministic per step.
+        batch = jax.device_put(next(it), bsh)
+        for _ in range(30):
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_dual_optimizer_moves_quantiles(self, tmp_path):
+        cfg = make_cfg(tmp_path, last_step=3)
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        q0 = np.array(state.params["entropy_bottleneck"]["quantiles"])
+        state = trainer.fit(iter(batches(cfg)), state=state, verbose=False)
+        q1 = np.array(state.params["entropy_bottleneck"]["quantiles"])
+        assert not np.allclose(q0, q1), "aux optimizer should move quantiles"
+
+    def test_checkpoint_resume(self, tmp_path):
+        cfg = make_cfg(tmp_path, last_step=2)
+        trainer = Trainer(cfg)
+        state = trainer.fit(iter(batches(cfg)), verbose=False)
+        assert latest_step(trainer.save_dir) == 2
+        # Resume continues from step 2 to 5.
+        cfg2 = make_cfg(tmp_path, last_step=5)
+        trainer2 = Trainer(cfg2)
+        state2 = trainer2.fit(iter(batches(cfg2)), verbose=False)
+        assert int(state2.step) == 5
+
+    def test_bb_trainer_single_optimizer(self, tmp_path):
+        cfg = make_cfg(tmp_path, model="mbt2018_bb", last_step=2)
+        trainer = Trainer(cfg)
+        state = trainer.fit(iter(batches(cfg)), verbose=False)
+        assert int(state.step) == 2
+
+    def test_nan_guard(self, tmp_path):
+        cfg = make_cfg(tmp_path, last_step=1, log_every=1)
+        trainer = Trainer(cfg)
+
+        def nan_batches():
+            while True:
+                yield np.full((cfg.batchsize, cfg.patchsize, cfg.patchsize, 3), np.nan, np.float32)
+
+        with pytest.raises(FloatingPointError):
+            trainer.fit(nan_batches(), verbose=False)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        save_checkpoint(str(tmp_path), 7, state)
+        assert latest_step(str(tmp_path)) == 7
+        restored = restore_checkpoint(str(tmp_path), jax.tree.map(jnp.zeros_like, state))
+        np.testing.assert_allclose(restored["a"], state["a"])
+        np.testing.assert_allclose(restored["b"]["c"], state["b"]["c"])
