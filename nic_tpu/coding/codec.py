@@ -1,0 +1,147 @@
+"""End-to-end bitstream codec for the mean-scale hyperprior.
+
+Implements the real-entropy-coding paths of the reference
+(mbt2018.py:131-245 compress, mbt2018.py:248-295 decompress): the device
+computes integer symbols + CDF-row indexes under jit; the host rANS coder
+turns them into bytes. The bitstream is self-contained given (runname,
+num_filters): z decodes against the factorized-prior table, then
+mu/sigma = h_s(z_hat) selects per-element rows of the Gaussian scale table
+to decode y, then x_hat = g_s(y_hat).
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nic_tpu.coding.coder import RansCoder
+from nic_tpu.coding.container import PackedBitstream
+from nic_tpu.coding.tables import CdfTable
+from nic_tpu.models.conditional import GaussianConditional
+from nic_tpu.models.mbt2018 import MeanScaleHyperprior
+
+_GC = GaussianConditional()
+
+
+@partial(jax.jit, static_argnums=0)
+def _encode_pass(model, params, x):
+    """Eval forward -> (outputs, z symbols, y symbols, y scale-row indexes)."""
+    out = model.apply({"params": params}, x, training=False)
+    medians = model.apply({"params": params}, method=model.medians)
+    z_symbols = jnp.round(out["z"] - medians).astype(jnp.int32)
+    y_symbols = _GC.symbols(out["y"], out["mu"])
+    y_indexes = _GC.scale_indexes(_GC.bound_scale(out["sigma"]))
+    return out, z_symbols, y_symbols, y_indexes
+
+
+@partial(jax.jit, static_argnums=0)
+def _dequantize_z(model, params, z_symbols):
+    medians = model.apply({"params": params}, method=model.medians)
+    return z_symbols.astype(jnp.float32) + medians
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _mu_sigma_pass(model, params, z_hat, y_hw):
+    mu, sigma = model.apply(
+        {"params": params}, z_hat, y_hw, method=model.hyper_synthesize
+    )
+    return mu, sigma, _GC.scale_indexes(_GC.bound_scale(sigma))
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _synthesize_pass(model, params, y_hat, x_hw):
+    return model.apply({"params": params}, y_hat, x_hw, method=model.synthesize)
+
+
+class HyperpriorCodec:
+    """Bitstream encoder/decoder around trained MeanScaleHyperprior params."""
+
+    def __init__(self, model: MeanScaleHyperprior, params: Any):
+        self.model = model
+        self.params = params
+        self.coder = RansCoder()
+        self._z_table: Optional[CdfTable] = None
+        self._y_table: Optional[CdfTable] = None
+
+    # ------------------------------------------------------------- tables
+
+    def z_table(self) -> CdfTable:
+        """Factorized-prior CDF table over the median-centered integer grid
+        (the reference's EntropyBottleneck update op, mbt2018.py:123)."""
+        if self._z_table is None:
+            pmf, offsets, lengths, tail = jax.device_get(
+                self.model.apply(
+                    {"params": self.params}, method=self.model.pmf_for_coding
+                )
+            )
+            self._z_table = CdfTable.from_pmf(pmf, offsets, lengths, tail)
+        return self._z_table
+
+    def y_table(self) -> CdfTable:
+        """Per-scale-level Gaussian CDF tables (tfc GaussianConditional)."""
+        if self._y_table is None:
+            pmf, offsets, lengths, tail = _GC.pmfs_for_coding()
+            self._y_table = CdfTable.from_pmf(pmf, offsets, lengths, tail)
+        return self._y_table
+
+    # --------------------------------------------------------------- public
+
+    def compress(self, x: np.ndarray) -> Tuple[bytes, Dict[str, Any]]:
+        """Compress a [N,H,W,3] float batch in [0,1] into one bitstream.
+
+        Returns (packed bytes, eval forward outputs for metric computation).
+        """
+        out, z_symbols, y_symbols, y_indexes = _encode_pass(
+            self.model, self.params, jnp.asarray(x)
+        )
+        z_symbols = np.asarray(jax.device_get(z_symbols))
+        y_symbols = np.asarray(jax.device_get(y_symbols))
+        y_indexes = np.asarray(jax.device_get(y_indexes))
+
+        zt, yt = self.z_table(), self.y_table()
+        z_rows = np.broadcast_to(
+            np.arange(z_symbols.shape[-1], dtype=np.int32), z_symbols.shape
+        )
+        z_rel = zt.symbols_from_values(z_symbols, z_rows)
+        side_string = self.coder.encode(z_rel, z_rows, zt.cdfs, zt.cdf_sizes)
+        y_rel = yt.symbols_from_values(y_symbols, y_indexes)
+        string = self.coder.encode(y_rel, y_indexes, yt.cdfs, yt.cdf_sizes)
+
+        packed = PackedBitstream()
+        packed.add_stream("string", string)
+        packed.add_stream("side_string", side_string)
+        packed.add_ints("x_shape", x.shape[1:3])
+        packed.add_ints("y_shape", y_symbols.shape[1:3])
+        packed.add_ints("z_shape", z_symbols.shape[1:3])
+        packed.add_ints("batch", [x.shape[0]])
+        return packed.pack(), out
+
+    def decompress(self, blob: bytes) -> np.ndarray:
+        """Inverse of compress: bitstream -> float [N,H,W,3] reconstruction
+        (mbt2018.py:248-295)."""
+        packed = PackedBitstream.unpack(blob)
+        n = packed.get_ints("batch")[0]
+        xh, xw = packed.get_ints("x_shape")
+        yh, yw = packed.get_ints("y_shape")
+        zh, zw = packed.get_ints("z_shape")
+        c = self.model.num_filters
+
+        zt, yt = self.z_table(), self.y_table()
+        z_rows = np.broadcast_to(np.arange(c, dtype=np.int32), (n, zh, zw, c))
+        z_rel = self.coder.decode(
+            packed.get_stream("side_string"), z_rows, zt.cdfs, zt.cdf_sizes
+        )
+        z_symbols = zt.values_from_symbols(z_rel, z_rows)
+        z_hat = _dequantize_z(self.model, self.params, jnp.asarray(z_symbols))
+
+        mu, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_hat, (yh, yw))
+        y_indexes = np.asarray(jax.device_get(y_indexes))
+        y_rel = self.coder.decode(
+            packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
+        )
+        y_symbols = yt.values_from_symbols(y_rel, y_indexes)
+        y_hat = jnp.asarray(y_symbols, jnp.float32) + mu
+        x_hat = _synthesize_pass(self.model, self.params, y_hat, (xh, xw))
+        return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))

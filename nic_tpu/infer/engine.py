@@ -1,0 +1,346 @@
+"""Iterative latent-optimization engine (SGA / MAP / STE / UNOISE / DANNEAL).
+
+TPU-native redesign of the reference's flagship inference loop
+(sga.py:170-253 and its four ablation scripts): where the reference runs
+2000 x { device fwd+bwd -> host gradient transfer -> numpy Adam -> feed
+back }, here the *entire* optimization is one jit-compiled computation —
+a ``lax.scan`` (or ``lax.while_loop`` for the early-stopping methods) whose
+body fuses the relaxation, the model fwd+bwd, and the Adam update, with all
+state resident in HBM. The temperature schedule evaluates inside the loop.
+
+Per-method relaxations (all pluggable through MethodSpec.name):
+  sga      stochastic Gumbel annealing               sga.py:80-121
+  map      identity (continuous MAP descent)         map.py:77-104
+  ste      straight-through rounding                 ste.py:78-88
+  unoise   fresh uniform noise each step             unoise.py:70-97
+  danneal  deterministic softmax annealing           danneal.py:76-101
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nic_tpu.infer.adam import AdamState, adam_init, adam_update
+from nic_tpu.infer.methods import SGA, MethodSpec
+from nic_tpu.models.conditional import GaussianConditional
+from nic_tpu.models.mbt2018 import LN2, MeanScaleHyperprior
+from nic_tpu.ops.quantize import danneal_relax, round_ste, sga_relax
+from nic_tpu.ops.schedules import annealed_temperature
+
+_GC = GaussianConditional()
+
+
+class Latents(NamedTuple):
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+# --------------------------------------------------------------------- core
+
+
+def _relax(method: str, v, temperature, rng):
+    if method == "sga":
+        return sga_relax(v, temperature, rng)
+    if method == "danneal":
+        return danneal_relax(v, temperature)
+    if method == "map":
+        return v
+    if method == "ste":
+        return round_ste(v)
+    if method == "unoise":
+        return v + jax.random.uniform(rng, v.shape, v.dtype, -0.5, 0.5)
+    raise ValueError(f"Unknown relaxation {method!r}")
+
+
+def _forward(model, params, latents: Latents, x, temperature, rng, method: str):
+    """Relax -> likelihoods -> reconstruction, mirroring the per-script
+    compression graphs (e.g. sga.py:77-136)."""
+    ky, kz = jax.random.split(rng)
+    z_tilde = _relax(method, latents.z, temperature, kz)
+    z_lik = model.apply({"params": params}, z_tilde, method=model.z_likelihood)
+    y_hw = (latents.y.shape[1], latents.y.shape[2])
+    mu, sigma = model.apply(
+        {"params": params}, z_tilde, y_hw, method=model.hyper_synthesize
+    )
+    y_tilde = _relax(method, latents.y, temperature, ky)
+    y_lik = _GC.likelihood(y_tilde, mu, sigma)
+    x_hw = (x.shape[1], x.shape[2])
+    x_tilde = model.apply(
+        {"params": params}, y_tilde, x_hw, method=model.synthesize
+    )
+    return y_tilde, z_tilde, y_lik, z_lik, mu, sigma, x_tilde
+
+
+def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str):
+    """lambda * 255^2 * MSE + mean bpp (sga.py:144-163)."""
+    _, _, y_lik, z_lik, _, _, x_tilde = _forward(
+        model, params, latents, x, temperature, rng, method
+    )
+    num_pixels = x.shape[1] * x.shape[2]
+    y_bpp = -jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
+    z_bpp = -jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
+    train_bpp = jnp.mean(y_bpp + z_bpp)
+    mse = jnp.mean(jnp.square(x - x_tilde)) * (255.0 ** 2)
+    loss = jnp.where(lmbda > 0, lmbda * mse + train_bpp, train_bpp)
+    return loss, dict(mse=mse, bpp=train_bpp)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _quantize_transmitted(model, params, latents: Latents, method: str) -> Latents:
+    """The latents each method actually transmits.
+
+    sga/ste/danneal: plain rounding (sga.py:240-241, ste.py:201-202,
+    danneal.py:237-238). map: median-centered z, mean-centered y with the
+    mean from *continuous* z (map.py:85-100, 178,201). unoise: same
+    quantizers but with the mean from the quantized z (unoise.py:82,97; the
+    reference samples a noisy z for this mean — we use the decodable choice).
+    """
+    if method in ("sga", "ste", "danneal"):
+        return Latents(y=jnp.round(latents.y), z=jnp.round(latents.z))
+    z_hat = model.apply({"params": params}, latents.z, method=model.quantize_z)
+    y_hw = (latents.y.shape[1], latents.y.shape[2])
+    if method == "map":
+        mu_src = latents.z
+    elif method == "unoise":
+        mu_src = z_hat
+    else:
+        raise ValueError(method)
+    mu, _ = model.apply(
+        {"params": params}, mu_src, y_hw, method=model.hyper_synthesize
+    )
+    return Latents(y=_GC.quantize(latents.y, mu), z=z_hat)
+
+
+def _probe_objective(model, params, latents, x, lmbda, method: str):
+    """Early-stop probe: the true discrete objective after quantization
+    (map.py:178-193). Evaluated with the MAP graph semantics (identity
+    relaxation on the quantized latents)."""
+    q = _quantize_transmitted(model, params, latents, method)
+    key = jax.random.PRNGKey(0)  # unused by the identity relaxation
+    loss, _ = _rd_loss(model, params, q, x, lmbda, 1.0, key, "map")
+    return loss
+
+
+# ------------------------------------------------------------------- engine
+
+
+class _Carry(NamedTuple):
+    latents: Latents
+    adam: AdamState
+    rng: jnp.ndarray
+    it: jnp.ndarray
+    saved: Latents        # last improving probe point (early stop)
+    prev_obj: jnp.ndarray
+    stopped: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _optimize_impl(
+    model, params, x, lmbda, rng, method: MethodSpec, y0, z0
+):
+    latents0 = Latents(y=y0, z=z0)
+    grad_fn = jax.value_and_grad(
+        lambda lat, T, k: _rd_loss(model, params, lat, x, lmbda, T, k, method.name),
+        has_aux=True,
+    )
+
+    def temperature_at(it):
+        return annealed_temperature(
+            it,
+            r=method.annealing_rate,
+            ub=method.temperature_ub,
+            scheme=method.annealing_scheme,
+            t0=method.t0,
+        )
+
+    def common_step(carry: _Carry):
+        T = temperature_at(carry.it)
+        rng, sub = jax.random.split(carry.rng)
+        (loss, _), grads = grad_fn(carry.latents, T, sub)
+        new_latents, new_adam = adam_update(
+            carry.latents, grads, carry.adam, method.lr
+        )
+        return carry._replace(
+            latents=Latents(*new_latents), adam=new_adam, rng=rng, it=carry.it + 1
+        ), loss
+
+    if not method.early_stop:
+
+        def scan_body(carry, _):
+            carry, loss = common_step(carry)
+            return carry, loss
+
+        init = _Carry(
+            latents=latents0,
+            adam=adam_init(latents0),
+            rng=rng,
+            it=jnp.zeros((), jnp.int32),
+            saved=latents0,
+            prev_obj=jnp.inf,
+            stopped=jnp.zeros((), bool),
+        )
+        carry, losses = lax.scan(scan_body, init, None, length=method.iterations)
+        return carry.latents, losses
+
+    # Early-stopping variant: lax.while_loop so we actually stop computing
+    # when the probe worsens, matching the reference's `break`
+    # (map.py:186-193, ste.py:185-194).
+    probe = method.probe_interval
+
+    def cond(carry: _Carry):
+        return jnp.logical_and(carry.it < method.iterations, ~carry.stopped)
+
+    def body(carry: _Carry):
+        pre_loss_carry, loss = common_step(carry)
+
+        def run_probe(c: _Carry):
+            if method.name == "ste":
+                # STE compares the relaxed objective itself (ste.py:185-193).
+                obj = loss
+            else:
+                obj = _probe_objective(
+                    model, params, c.latents, x, lmbda, method.name
+                )
+            improved = obj <= c.prev_obj
+            return c._replace(
+                saved=jax.tree.map(
+                    lambda new, old: jnp.where(improved, new, old),
+                    c.latents,
+                    c.saved,
+                ),
+                prev_obj=jnp.where(improved, obj, c.prev_obj),
+                stopped=jnp.logical_or(c.stopped, ~improved),
+            )
+
+        it_probe = (carry.it % probe == 0) | (carry.it == method.iterations - 1)
+        return lax.cond(it_probe, run_probe, lambda c: c, pre_loss_carry)
+
+    init = _Carry(
+        latents=latents0,
+        adam=adam_init(latents0),
+        rng=rng,
+        it=jnp.zeros((), jnp.int32),
+        saved=latents0,
+        prev_obj=jnp.inf,
+        stopped=jnp.zeros((), bool),
+    )
+    carry = lax.while_loop(cond, body, init)
+    final = jax.tree.map(
+        lambda s, c: jnp.where(carry.stopped, s, c), carry.saved, carry.latents
+    )
+    return Latents(*final), jnp.zeros((0,), jnp.float32)
+
+
+@partial(jax.jit, static_argnums=0)
+def _amortized_init(model, params, x):
+    """y = g_a(x), z = h_a(y) — the amortized starting point (sga.py:77-78)."""
+    y = model.apply({"params": params}, x, method=model.analyze)
+    z = model.apply({"params": params}, y, method=model.hyper_analyze)
+    return y, z
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _eval_transmitted(model, params, x, latents: Latents, compute_msssim: bool):
+    """Evaluate the transmitted latents exactly as the reference's final
+    sess.run with fed y_tilde/z_tilde (sga.py:244-247)."""
+    from nic_tpu.evaluation.metrics import msssim as msssim_fn
+    from nic_tpu.evaluation.metrics import msssim_db as msssim_db_fn
+    from nic_tpu.evaluation.metrics import psnr as psnr_fn
+
+    z_lik = model.apply({"params": params}, latents.z, method=model.z_likelihood)
+    y_hw = (latents.y.shape[1], latents.y.shape[2])
+    mu, sigma = model.apply(
+        {"params": params}, latents.z, y_hw, method=model.hyper_synthesize
+    )
+    y_lik = _GC.likelihood(latents.y, mu, sigma)
+    x_hw = (x.shape[1], x.shape[2])
+    x_tilde = model.apply({"params": params}, latents.y, x_hw, method=model.synthesize)
+
+    num_pixels = x.shape[1] * x.shape[2]
+    y_bpp = -jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
+    z_bpp = -jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
+
+    x255 = x * 255.0
+    xt255 = jnp.round(jnp.clip(x_tilde, 0.0, 1.0) * 255.0)
+    mse = jnp.mean(jnp.square(x255 - xt255), axis=(1, 2, 3))
+    psnr = psnr_fn(xt255, x255, 255.0)
+    if compute_msssim:
+        ms = msssim_fn(xt255, x255, 255.0)
+        ms_db = msssim_db_fn(ms)
+    else:
+        ms = jnp.full(x.shape[:1], jnp.nan)
+        ms_db = jnp.full(x.shape[:1], jnp.nan)
+    return dict(
+        mse=mse,
+        psnr=psnr,
+        msssim=ms,
+        msssim_db=ms_db,
+        est_bpp=y_bpp + z_bpp,
+        est_y_bpp=y_bpp,
+        est_z_bpp=z_bpp,
+        x_tilde=x_tilde,
+    )
+
+
+class LatentOptimizer:
+    """Binds (model, params); runs any MethodSpec over an image batch."""
+
+    def __init__(self, model: MeanScaleHyperprior, params: Any):
+        self.model = model
+        self.params = params
+
+    def amortized_init(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return _amortized_init(self.model, self.params, x)
+
+    def optimize(
+        self,
+        x,
+        lmbda: float,
+        method: MethodSpec = SGA,
+        rng: Optional[jax.Array] = None,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Run the full iterative inference for one image batch.
+
+        Returns transmitted latents, per-image eval metrics, and (for
+        fixed-length methods) the per-iteration loss history.
+        """
+        x = jnp.asarray(x, jnp.float32)
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        y0, z0 = _amortized_init(self.model, self.params, x)
+        latents, losses = _optimize_impl(
+            self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0
+        )
+        transmitted = _quantize_transmitted(
+            self.model, self.params, latents, method.name
+        )
+        compute_msssim = min(x.shape[1], x.shape[2]) >= 176
+        metrics = _eval_transmitted(
+            self.model, self.params, x, Latents(*transmitted), compute_msssim
+        )
+        return dict(
+            y=np.asarray(transmitted.y),
+            z=np.asarray(transmitted.z),
+            losses=np.asarray(losses),
+            **{k: np.asarray(v) for k, v in metrics.items()},
+        )
+
+    def eval_amortized(self, x) -> Dict[str, Any]:
+        """No-optimization baseline: quantize the amortized latents
+        (the mbt2018 compress path, mbt2018.py:131-245, estimated rates)."""
+        x = jnp.asarray(x, jnp.float32)
+        out = self.model.apply({"params": self.params}, x, training=False)
+        compute_msssim = min(x.shape[1], x.shape[2]) >= 176
+        metrics = _eval_transmitted(
+            self.model,
+            self.params,
+            x,
+            Latents(y=out["y_tilde"], z=out["z_tilde"]),
+            compute_msssim,
+        )
+        return {k: np.asarray(v) for k, v in metrics.items()}

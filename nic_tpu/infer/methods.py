@@ -1,0 +1,40 @@
+"""Method specifications for the iterative-inference engines.
+
+One spec per reference script; constants cite their sources:
+  SGA      sga.py:190-196   (lr .005, 2000 its, exp0 schedule r=1e-3 t0=700 ub=.5)
+  MAP      map.py:150-156   (lr .005, early stop on rounded objective / 10 its)
+  STE      ste.py:161-164   (lr 1e-4, early stop on relaxed objective / 10 its)
+  UNOISE   unoise.py        (lr .005, fresh U(-.5,.5) noise each step)
+  DANNEAL  danneal.py:183-193 (lr .005, plain exp schedule r=4e-3 ub=.2)
+"""
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class MethodSpec:
+    name: str
+    iterations: int = 2000
+    lr: float = 0.005
+    annealing_scheme: str = "exp0"
+    annealing_rate: float = 1e-3
+    t0: int = 700
+    temperature_ub: float = 0.5
+    early_stop: bool = False
+    probe_interval: int = 10
+
+    def replace(self, **kw) -> "MethodSpec":
+        from dataclasses import replace as _replace
+
+        return _replace(self, **kw)
+
+
+SGA = MethodSpec(name="sga")
+MAP = MethodSpec(name="map", early_stop=True)
+STE = MethodSpec(name="ste", lr=1e-4, early_stop=True)
+UNOISE = MethodSpec(name="unoise")
+DANNEAL = MethodSpec(
+    name="danneal", annealing_scheme="exp", annealing_rate=4e-3, temperature_ub=0.2
+)
+
+METHODS = {m.name: m for m in (SGA, MAP, STE, UNOISE, DANNEAL)}
