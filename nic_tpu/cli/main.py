@@ -1,0 +1,273 @@
+"""Command-line interface with the reference's command surface.
+
+Usage (mirrors `python <script>.py {train,compress,decompress}` of the
+reference, tf_boilerplate.py:91-204):
+
+  python -m nic_tpu mbt2018 train --train_glob 'data/*.png' --lambda 0.01 ...
+  python -m nic_tpu mbt2018 compress <runname> <input.png> [out.ntc]
+  python -m nic_tpu mbt2018 decompress <runname> <input.ntc> [out.png]
+  python -m nic_tpu sga compress <runname> <input.png|batch.npy>
+  python -m nic_tpu bb_sga compress <runname> ...
+
+Unlike the reference, --sga_its is honored (the reference exposes the flag
+but hardcodes 2000 iterations, sga.py:191-192 vs tf_boilerplate.py:169-170).
+"""
+
+import argparse
+import os
+import sys
+from dataclasses import replace
+
+import numpy as np
+
+from nic_tpu import config as cfg
+from nic_tpu.utils import get_runname, load_input, parse_lmbda_from_runname, write_png
+
+MODELS = ("mbt2018", "mbt2018_bb")
+METHOD_SCRIPTS = ("sga", "map", "ste", "unoise", "danneal")
+BB_SCRIPTS = ("bb_sga", "bb_no_sga", "bb_plain")
+ALL_SCRIPTS = MODELS + METHOD_SCRIPTS + BB_SCRIPTS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="nic_tpu", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("script", choices=ALL_SCRIPTS, help="Model or inference method.")
+    parser.add_argument("--verbose", "-V", action="store_true")
+    parser.add_argument("--num_filters", type=int, default=192)
+    parser.add_argument("--num_hfilters", type=int, default=-1)
+    parser.add_argument("--checkpoint_dir", default=cfg.CHECKPOINT_DIR)
+    sub = parser.add_subparsers(dest="command")
+
+    train_cmd = sub.add_parser("train")
+    train_cmd.add_argument("--train_glob", default="images/*.png")
+    train_cmd.add_argument("--batchsize", type=int, default=8)
+    train_cmd.add_argument("--patchsize", type=int, default=256)
+    train_cmd.add_argument("--lambda", type=float, default=0.01, dest="lmbda")
+    train_cmd.add_argument("--last_step", type=int, default=1_000_000)
+    train_cmd.add_argument("--preprocess_threads", type=int, default=16)
+    train_cmd.add_argument("--logdir", default="")
+    train_cmd.add_argument("--save_checkpoint_secs", type=int, default=300)
+    train_cmd.add_argument("--save_summary_secs", type=int, default=60)
+
+    compress_cmd = sub.add_parser("compress")
+    compress_cmd.add_argument("--results_dir", default="./results")
+    compress_cmd.add_argument("--lambda", type=float, default=-1, dest="lmbda")
+    compress_cmd.add_argument("--sga_its", type=int, default=2000)
+    compress_cmd.add_argument("--annealing_rate", type=float, default=1e-3)
+    compress_cmd.add_argument("--t0", type=int, default=700)
+    compress_cmd.add_argument("--seed", type=int, default=cfg.DEFAULT_SEED)
+
+    decompress_cmd = sub.add_parser("decompress")
+
+    for c, ext in ((compress_cmd, ".ntc"), (decompress_cmd, ".png")):
+        c.add_argument("runname")
+        c.add_argument("input_file")
+        c.add_argument("output_file", nargs="?")
+    return parser
+
+
+# ------------------------------------------------------------------ commands
+
+
+def _load_params(args, model_name: str):
+    """Restore trained params for `runname` from checkpoint_dir."""
+    from nic_tpu.train.trainer import TrainConfig, Trainer
+
+    tc = TrainConfig(
+        model=model_name,
+        num_filters=args.num_filters,
+        checkpoint_dir=args.checkpoint_dir,
+        runname=args.runname,
+    )
+    trainer = Trainer(tc)
+    state = trainer.restore_or_init()
+    from nic_tpu.train.checkpoint import latest_step
+
+    if latest_step(trainer.save_dir) is None:
+        print(
+            f"WARNING: no checkpoint under {trainer.save_dir}; using random init.",
+            file=sys.stderr,
+        )
+    return trainer.model, state.params
+
+
+def run_train(args):
+    from nic_tpu.train.data import PatchPipeline
+    from nic_tpu.train.trainer import TrainConfig, Trainer
+
+    tc = TrainConfig(
+        model=args.script,
+        num_filters=args.num_filters,
+        lmbda=args.lmbda,
+        batchsize=args.batchsize,
+        patchsize=args.patchsize,
+        last_step=args.last_step,
+        checkpoint_dir=args.checkpoint_dir,
+        save_checkpoint_secs=args.save_checkpoint_secs,
+        save_summary_secs=args.save_summary_secs,
+    )
+    pipeline = PatchPipeline(
+        args.train_glob,
+        batchsize=args.batchsize,
+        patchsize=args.patchsize,
+        num_threads=args.preprocess_threads,
+    )
+    try:
+        Trainer(tc).fit(pipeline, verbose=True)
+    finally:
+        pipeline.close()
+
+
+def _resolve_lmbda(args):
+    if args.lmbda < 0:
+        args.lmbda = parse_lmbda_from_runname(args.runname)
+        print(f"Defaulting lmbda to {args.lmbda:g} as used in model training.")
+    return args.lmbda
+
+
+def _batches(X):
+    n = X.shape[0]
+    bs = cfg.get_eval_batch_size(int(np.prod(X.shape[1:3])))
+    for i in range(0, n, bs):
+        yield X[i : i + bs]
+
+
+def run_compress(args):
+    from nic_tpu.evaluation.results import save_rd_results
+
+    X = load_input(args.input_file)
+    lmbda = _resolve_lmbda(args)
+
+    if args.script == "mbt2018":
+        _compress_amortized(args, X)
+        return
+
+    if args.script in METHOD_SCRIPTS:
+        from nic_tpu.infer.engine import LatentOptimizer
+        from nic_tpu.infer.methods import METHODS
+
+        model, params = _load_params(args, "mbt2018")
+        opt = LatentOptimizer(model, params)
+        spec = METHODS[args.script]
+        spec = replace(
+            spec,
+            iterations=args.sga_its,
+            annealing_rate=args.annealing_rate,
+            t0=args.t0,
+        )
+        fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
+        results = {k: [] for k in fields}
+        for batch in _batches(X):
+            res = opt.optimize(batch, lmbda, method=spec, seed=args.seed)
+            for k in fields:
+                results[k].extend(np.asarray(res[k]).tolist())
+    else:  # bits-back scripts
+        from nic_tpu.infer.bb import BB_NO_SGA, BB_PLAIN, BB_SGA, BBLatentOptimizer
+
+        model, params = _load_params(args, "mbt2018_bb")
+        opt = BBLatentOptimizer(model, params)
+        spec = {"bb_sga": BB_SGA, "bb_no_sga": BB_NO_SGA, "bb_plain": BB_PLAIN}[args.script]
+        if args.script == "bb_sga":
+            spec = replace(
+                spec,
+                rd_iterations=args.sga_its,
+                annealing_rate=args.annealing_rate,
+                t0=args.t0,
+            )
+        fields = [
+            "mse", "psnr", "msssim", "msssim_db",
+            "est_bpp", "est_y_bpp", "est_z_bpp", "est_bpp_back",
+        ]
+        results = {k: [] for k in fields}
+        for batch in _batches(X):
+            res = opt.optimize(batch, lmbda, spec=spec, seed=args.seed)
+            for k in fields:
+                results[k].extend(np.asarray(res[k]).tolist())
+
+    results = {k: np.asarray(v) for k, v in results.items()}
+    save_rd_results(
+        results, args.results_dir, args.script, args.runname, args.input_file, lmbda
+    )
+
+
+def _compress_amortized(args, X):
+    """mbt2018 compress: estimated metrics + real range coding
+    (mbt2018.py:131-245)."""
+    from nic_tpu.coding.codec import HyperpriorCodec
+    from nic_tpu.evaluation.results import save_rd_results
+    from nic_tpu.infer.engine import LatentOptimizer, Latents, _eval_transmitted
+
+    model, params = _load_params(args, "mbt2018")
+    codec = HyperpriorCodec(model, params)
+    opt = LatentOptimizer(model, params)
+    fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
+    results = {k: [] for k in fields}
+    batch_actual_bpp, batch_sizes = [], []
+    num_pixels = int(np.prod(X.shape[1:3]))
+
+    blob = b""
+    for batch in _batches(X):
+        metrics = opt.eval_amortized(batch)
+        for k in fields:
+            results[k].extend(np.asarray(metrics[k]).tolist())
+        blob, _ = codec.compress(batch)
+        batch_actual_bpp.append(len(blob) * 8 / (num_pixels * batch.shape[0]))
+        batch_sizes.append(batch.shape[0])
+
+    if args.output_file or cfg.WRITE_BITSTREAM_FOR_EVAL:
+        out = args.output_file or (args.input_file + ".ntc")
+        with open(out, "wb") as f:
+            f.write(blob)
+
+    results = {k: np.asarray(v) for k, v in results.items()}
+    results["batch_actual_bpp"] = np.asarray(batch_actual_bpp)
+    results["batch_sizes"] = np.asarray(batch_sizes)
+    results["avg_batch_actual_bpp"] = np.asarray(
+        np.sum(np.asarray(batch_actual_bpp) * np.asarray(batch_sizes))
+        / np.sum(batch_sizes)
+    )
+    save_rd_results(
+        results,
+        args.results_dir,
+        args.script,
+        args.runname,
+        args.input_file,
+        lmbda=None,  # trained-script naming: rd-<runname>-input=...
+    )
+
+
+def run_decompress(args):
+    from nic_tpu.coding.codec import HyperpriorCodec
+
+    model, params = _load_params(args, "mbt2018")
+    codec = HyperpriorCodec(model, params)
+    with open(args.input_file, "rb") as f:
+        blob = f.read()
+    x_hat = codec.decompress(blob)
+    out = args.output_file or (args.input_file + ".png")
+    write_png(out, x_hat[0])
+    print(f"Wrote {out}")
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_usage()
+        sys.exit(2)
+    if args.command == "train":
+        if args.script not in MODELS:
+            sys.exit(f"{args.script} does not support training.")
+        run_train(args)
+    elif args.command == "compress":
+        run_compress(args)
+    elif args.command == "decompress":
+        if args.script != "mbt2018":
+            sys.exit("Only mbt2018 supports decompression.")
+        run_decompress(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,12 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
-        self.mesh = data_mesh(cfg.num_devices)
+        # The data axis cannot exceed the batch size and must divide it.
+        n = cfg.num_devices or jax.device_count()
+        n = min(n, cfg.batchsize)
+        while cfg.batchsize % n:
+            n -= 1
+        self.mesh = data_mesh(n)
         if cfg.model == "mbt2018":
             self.model = MeanScaleHyperprior(num_filters=cfg.num_filters)
             self._dual = True

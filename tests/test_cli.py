@@ -1,0 +1,106 @@
+"""CLI integration: train a tiny model, compress/decompress through main()."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from nic_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(data / f"img{i}.png")
+    test_img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(test_img).save(root / "test.png")
+    return root
+
+
+def _common(workspace, script, cmd, *extra):
+    return [
+        script,
+        "--num_filters",
+        "4",
+        "--checkpoint_dir",
+        str(workspace / "ckpt"),
+        cmd,
+        *extra,
+    ]
+
+
+class TestCLI:
+    def test_train_compress_decompress(self, workspace):
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        main(
+            _common(
+                workspace,
+                "mbt2018",
+                "train",
+                "--train_glob",
+                str(workspace / "data" / "*.png"),
+                "--patchsize",
+                "64",
+                "--batchsize",
+                "2",
+                "--last_step",
+                "3",
+                "--lambda",
+                "0.01",
+                "--preprocess_threads",
+                "2",
+            )
+        )
+        assert os.path.isdir(workspace / "ckpt" / runname)
+
+        out_bin = str(workspace / "out.ntc")
+        main(
+            _common(
+                workspace,
+                "mbt2018",
+                "compress",
+                "--results_dir",
+                str(workspace / "results"),
+                runname,
+                str(workspace / "test.png"),
+                out_bin,
+            )
+        )
+        assert os.path.exists(out_bin)
+        results = glob.glob(str(workspace / "results" / "rd-*.npz"))
+        assert results, "RD results npz must be written"
+        bundle = np.load(results[0])
+        for field in ("psnr", "est_bpp", "est_y_bpp", "est_z_bpp", "avg_batch_actual_bpp"):
+            assert field in bundle
+
+        out_png = str(workspace / "recon.png")
+        main(_common(workspace, "mbt2018", "decompress", runname, out_bin, out_png))
+        recon = np.asarray(Image.open(out_png))
+        assert recon.shape == (64, 64, 3)
+
+    def test_sga_compress_cli(self, workspace):
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        main(
+            _common(
+                workspace,
+                "sga",
+                "compress",
+                "--results_dir",
+                str(workspace / "results_sga"),
+                "--sga_its",
+                "12",
+                runname,
+                str(workspace / "test.png"),
+            )
+        )
+        results = glob.glob(str(workspace / "results_sga" / "rd-sga-*.npz"))
+        assert results
+        bundle = np.load(results[0])
+        assert np.isfinite(bundle["est_bpp"]).all()

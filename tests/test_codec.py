@@ -1,0 +1,61 @@
+"""End-to-end bitstream tests: compress -> decompress round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nic_tpu.coding.codec import HyperpriorCodec
+from nic_tpu.models.mbt2018 import MeanScaleHyperprior, eval_bpp
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def codec():
+    model = MeanScaleHyperprior(num_filters=N)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(
+        jax.random.PRNGKey(0), x, training=True, rng=jax.random.PRNGKey(1)
+    )
+    return HyperpriorCodec(model, variables["params"])
+
+
+@pytest.fixture(scope="module")
+def image():
+    return np.random.default_rng(3).random((2, 64, 64, 3)).astype(np.float32)
+
+
+class TestCodecRoundtrip:
+    def test_reconstruction_matches_eval_forward(self, codec, image):
+        blob, out = codec.compress(image)
+        x_hat = codec.decompress(blob)
+        expected = np.clip(np.asarray(out["x_tilde"]), 0.0, 1.0)
+        np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+
+    def test_actual_bpp_close_to_estimate(self, codec, image):
+        """actual_bpp ~ est_bpp + container overhead (mbt2018.py:219-221)."""
+        blob, out = codec.compress(image)
+        num_pixels = image.shape[0] * image.shape[1] * image.shape[2]
+        actual_bpp = len(blob) * 8 / num_pixels
+        est, _, _ = eval_bpp(out, image.shape[1] * image.shape[2])
+        est_total = float(np.mean(np.asarray(est)))
+        # Estimated bpp should bound actual from below minus small epsilon;
+        # container + coder overhead should stay modest.
+        overhead_bpp = (8 * 150) / num_pixels  # header budget
+        assert actual_bpp <= est_total * 1.08 + overhead_bpp + 0.02
+        assert actual_bpp >= est_total * 0.9 - 0.01
+
+    def test_nonstandard_size(self, codec):
+        """Non-multiple-of-64 sizes: crop logic through the whole codec."""
+        x = np.random.default_rng(5).random((1, 75, 90, 3)).astype(np.float32)
+        blob, out = codec.compress(x)
+        x_hat = codec.decompress(blob)
+        assert x_hat.shape == x.shape
+        expected = np.clip(np.asarray(out["x_tilde"]), 0.0, 1.0)
+        np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+
+    def test_bitstream_is_bytes_and_stable(self, codec, image):
+        b1, _ = codec.compress(image)
+        b2, _ = codec.compress(image)
+        assert isinstance(b1, bytes) and b1 == b2
