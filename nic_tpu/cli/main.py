@@ -29,6 +29,25 @@ BB_SCRIPTS = ("bb_sga", "bb_no_sga", "bb_plain")
 ALL_SCRIPTS = MODELS + METHOD_SCRIPTS + BB_SCRIPTS
 
 
+def build_prior_parser() -> argparse.ArgumentParser:
+    """Standalone prior-fitting CLI (learned_prior.py:498-535)."""
+    p = argparse.ArgumentParser(
+        prog="nic_tpu learned_prior",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_channels", type=int, required=True)
+    p.add_argument("--dims", nargs="*", type=int, default=[3, 3, 3])
+    p.add_argument("--init_scale", default=1.0, type=float)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--its", type=int, default=500)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--logging_freq", type=int, default=10)
+    return p
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="nic_tpu", formatter_class=argparse.ArgumentDefaultsHelpFormatter
@@ -252,6 +271,14 @@ def run_decompress(args):
 
 
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "learned_prior":
+        from nic_tpu.train.prior_trainer import train_prior_cli
+
+        args = build_prior_parser().parse_args(argv[1:])
+        train_prior_cli(args)
+        return
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.command is None:

@@ -287,11 +287,30 @@ def _eval_transmitted(model, params, x, latents: Latents, compute_msssim: bool):
 
 
 class LatentOptimizer:
-    """Binds (model, params); runs any MethodSpec over an image batch."""
+    """Binds (model, params); runs any MethodSpec over an image batch.
 
-    def __init__(self, model: MeanScaleHyperprior, params: Any):
+    Pass a ``mesh`` (1-D 'data' axis) to shard the image batch across chips:
+    inputs are device_put with a batch sharding and params replicated, and
+    XLA propagates the sharding through the whole jitted optimization — the
+    per-image latents, Adam state, and gradients all stay chip-local; only
+    the scalar loss mean crosses ICI.
+    """
+
+    def __init__(self, model: MeanScaleHyperprior, params: Any, mesh=None):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from nic_tpu.parallel.mesh import replicated_sharding
+
+            params = jax.device_put(params, replicated_sharding(mesh))
         self.params = params
+
+    def _place(self, x):
+        if self.mesh is None:
+            return x
+        from nic_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh))
 
     def amortized_init(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return _amortized_init(self.model, self.params, x)
@@ -309,7 +328,7 @@ class LatentOptimizer:
         Returns transmitted latents, per-image eval metrics, and (for
         fixed-length methods) the per-iteration loss history.
         """
-        x = jnp.asarray(x, jnp.float32)
+        x = self._place(jnp.asarray(x, jnp.float32))
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         y0, z0 = _amortized_init(self.model, self.params, x)
