@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     compress_cmd.add_argument("--annealing_rate", type=float, default=1e-3)
     compress_cmd.add_argument("--t0", type=int, default=700)
     compress_cmd.add_argument("--seed", type=int, default=cfg.DEFAULT_SEED)
+    compress_cmd.add_argument(
+        "--save_opt_record", action="store_true",
+        help="Save per-iteration loss records (configs.py save_opt_record).",
+    )
+    compress_cmd.add_argument(
+        "--save_reconstruction", action="store_true",
+        help="Save the reconstruction PNG (single-image inputs, sga.py:280-291).",
+    )
 
     decompress_cmd = sub.add_parser("decompress")
 
@@ -126,6 +134,7 @@ def run_train(args):
         checkpoint_dir=args.checkpoint_dir,
         save_checkpoint_secs=args.save_checkpoint_secs,
         save_summary_secs=args.save_summary_secs,
+        logdir=args.logdir,
     )
     pipeline = PatchPipeline(
         args.train_glob,
@@ -178,10 +187,30 @@ def run_compress(args):
         )
         fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
         results = {k: [] for k in fields}
+        opt_record = {"its": [], "rd_loss": []}
+        last_res = None
         for batch in _batches(X):
-            res = opt.optimize(batch, lmbda, method=spec, seed=args.seed)
+            res = last_res = opt.optimize(batch, lmbda, method=spec, seed=args.seed)
             for k in fields:
                 results[k].extend(np.asarray(res[k]).tolist())
+            if res["losses"].size:
+                opt_record["its"] = np.arange(res["losses"].size)
+                opt_record["rd_loss"] = res["losses"]
+        if args.save_opt_record and len(np.atleast_1d(opt_record["rd_loss"])):
+            save_rd_results(
+                {k: np.asarray(v) for k, v in opt_record.items()},
+                args.results_dir, args.script, args.runname, args.input_file,
+                lmbda, prefix="opt", verbose=False,
+            )
+        if args.save_reconstruction and last_res is not None and X.shape[0] == 1:
+            recon_path = os.path.join(
+                args.results_dir,
+                f"recon-{args.script}-lmbda={lmbda:g}+{args.runname}"
+                f"-input={os.path.basename(args.input_file)}.png",
+            )
+            os.makedirs(args.results_dir, exist_ok=True)
+            write_png(recon_path, np.asarray(last_res["x_tilde"])[0])
+            print(f"Saved reconstruction to {recon_path}")
     else:  # bits-back scripts
         from nic_tpu.infer.bb import BB_NO_SGA, BB_PLAIN, BB_SGA, BBLatentOptimizer
 

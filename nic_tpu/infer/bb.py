@@ -75,10 +75,13 @@ def _bb_rate_terms(model, params, y_tilde, z_mean, z_logvar, rng, num_pixels):
     return y_bpp, z_bpp, bpp_back, mu, sigma
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _bb_phase1(model, params, x, lmbda, rng, spec: BBMethodSpec, state0: BBState):
-    """RD optimization of (y, z_mean, z_logvar) with SGA on y
-    (bb_sga.py:196-237)."""
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _bb_phase1_chunk(
+    model, params, x, lmbda, it0, spec: BBMethodSpec, chunk_len: int, carry
+):
+    """A chunk of the RD optimization of (y, z_mean, z_logvar) with SGA on y
+    (bb_sga.py:196-237). Chunked so each device program stays short; the
+    carry (state, Adam moments, RNG) never leaves HBM."""
     num_pixels = x.shape[1] * x.shape[2]
     x_hw = (x.shape[1], x.shape[2])
 
@@ -111,15 +114,15 @@ def _bb_phase1(model, params, x, lmbda, rng, spec: BBMethodSpec, state0: BBState
         new_state, adam = adam_update(state, grads, adam, spec.rd_lr)
         return (BBState(*new_state), adam, key), loss
 
-    (state, _, _), losses = lax.scan(
-        body, (state0, adam_init(state0), rng), jnp.arange(spec.rd_iterations)
-    )
-    return state, losses
+    return lax.scan(body, carry, it0 + jnp.arange(chunk_len))
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _bb_phase2(model, params, y_tilde, rng, posterior0, spec: BBMethodSpec, num_pixels: int):
-    """Rate-only optimization of the posterior given frozen y_tilde
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _bb_phase2_chunk(
+    model, params, y_tilde, rng_unused, spec: BBMethodSpec, num_pixels: int,
+    chunk_len: int, carry
+):
+    """A chunk of the rate-only posterior optimization given frozen y_tilde
     (bb_sga.py:252-261; the whole of bb_no_sga)."""
 
     def rate_fn(post, key):
@@ -138,11 +141,15 @@ def _bb_phase2(model, params, y_tilde, rng, posterior0, spec: BBMethodSpec, num_
         new_post, adam = adam_update(post, grads, adam, spec.rate_lr)
         return (new_post, adam, key), loss
 
-    (post, _, _), losses = lax.scan(
-        body, (posterior0, adam_init(posterior0), rng), None,
-        length=spec.rate_iterations,
-    )
-    return post, losses
+    return lax.scan(body, carry, None, length=chunk_len)
+
+
+def _chunked(total: int, chunk_size: int):
+    done = 0
+    while done < total:
+        this = min(chunk_size, total - done)
+        yield done, this
+        done += this
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -202,6 +209,7 @@ class BBLatentOptimizer:
         lmbda: float,
         spec: BBMethodSpec = BB_SGA,
         seed: int = 0,
+        chunk_size: int = 200,
     ) -> Dict[str, Any]:
         x = jnp.asarray(x, jnp.float32)
         model, params = self.model, self.params
@@ -214,11 +222,16 @@ class BBLatentOptimizer:
             # initializes from y_init via the y_tilde feed).
             z_mean0, z_logvar0 = self._posterior_from(y)
             state0 = BBState(y=y, z_mean=z_mean0, z_logvar=z_logvar0)
-            state, rd_losses = _bb_phase1(
-                model, params, x, jnp.float32(lmbda), jax.random.PRNGKey(seed), spec, state0
-            )
-            y = state.y
-            rd_losses = np.asarray(rd_losses)
+            carry = (state0, adam_init(state0), jax.random.PRNGKey(seed))
+            chunks = []
+            for it0, this in _chunked(spec.rd_iterations, chunk_size):
+                carry, losses = _bb_phase1_chunk(
+                    model, params, x, jnp.float32(lmbda),
+                    jnp.int32(it0), spec, this, carry,
+                )
+                chunks.append(losses)
+            y = carry[0].y
+            rd_losses = np.concatenate([np.asarray(c) for c in chunks])
 
         y_tilde = jnp.round(y)  # transmitted latents (bb_sga.py:240)
 
@@ -228,16 +241,20 @@ class BBLatentOptimizer:
         rate_losses = np.zeros((0,), np.float32)
         if spec.rate_iterations > 0:
             # The reference re-seeds before phase 2 (bb_sga.py:243-244).
-            posterior, rate_losses = _bb_phase2(
-                model,
-                params,
-                y_tilde,
-                jax.random.PRNGKey(seed),
+            carry = (
                 tuple(posterior),
-                spec,
-                x.shape[1] * x.shape[2],
+                adam_init(tuple(posterior)),
+                jax.random.PRNGKey(seed),
             )
-            rate_losses = np.asarray(rate_losses)
+            chunks = []
+            num_pixels = x.shape[1] * x.shape[2]
+            for _, this in _chunked(spec.rate_iterations, chunk_size):
+                carry, losses = _bb_phase2_chunk(
+                    model, params, y_tilde, None, spec, num_pixels, this, carry
+                )
+                chunks.append(losses)
+            posterior = carry[0]
+            rate_losses = np.concatenate([np.asarray(c) for c in chunks])
 
         compute_msssim = min(x.shape[1], x.shape[2]) >= 176
         metrics = _bb_eval(

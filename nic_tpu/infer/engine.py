@@ -138,11 +138,27 @@ class _Carry(NamedTuple):
     stopped: jnp.ndarray
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _optimize_impl(
-    model, params, x, lmbda, rng, method: MethodSpec, y0, z0
-):
-    latents0 = Latents(y=y0, z=z0)
+def _init_carry(latents0: Latents, rng) -> _Carry:
+    return _Carry(
+        latents=latents0,
+        adam=adam_init(latents0),
+        rng=rng,
+        it=jnp.zeros((), jnp.int32),
+        saved=latents0,
+        prev_obj=jnp.inf,
+        stopped=jnp.zeros((), bool),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int, carry: _Carry):
+    """Run `chunk_len` optimization iterations on device.
+
+    The whole 2000-step loop is pure device work; it is sliced into chunks of
+    a few hundred iterations only so each dispatched XLA program stays well
+    under runtime watchdog limits — the carry (latents, Adam state, RNG,
+    early-stop bookkeeping) never leaves HBM between chunks.
+    """
     grad_fn = jax.value_and_grad(
         lambda lat, T, k: _rd_loss(model, params, lat, x, lmbda, T, k, method.name),
         has_aux=True,
@@ -170,69 +186,76 @@ def _optimize_impl(
 
     if not method.early_stop:
 
-        def scan_body(carry, _):
-            carry, loss = common_step(carry)
-            return carry, loss
+        def scan_body(c, _):
+            c, loss = common_step(c)
+            return c, loss
 
-        init = _Carry(
-            latents=latents0,
-            adam=adam_init(latents0),
-            rng=rng,
-            it=jnp.zeros((), jnp.int32),
-            saved=latents0,
-            prev_obj=jnp.inf,
-            stopped=jnp.zeros((), bool),
-        )
-        carry, losses = lax.scan(scan_body, init, None, length=method.iterations)
-        return carry.latents, losses
+        return lax.scan(scan_body, carry, None, length=chunk_len)
 
     # Early-stopping variant: lax.while_loop so we actually stop computing
     # when the probe worsens, matching the reference's `break`
     # (map.py:186-193, ste.py:185-194).
     probe = method.probe_interval
+    it_end = carry.it + chunk_len
 
-    def cond(carry: _Carry):
-        return jnp.logical_and(carry.it < method.iterations, ~carry.stopped)
+    def cond(c: _Carry):
+        return jnp.logical_and(
+            jnp.logical_and(c.it < it_end, c.it < method.iterations), ~c.stopped
+        )
 
-    def body(carry: _Carry):
-        pre_loss_carry, loss = common_step(carry)
+    def body(c: _Carry):
+        post_step, loss = common_step(c)
 
-        def run_probe(c: _Carry):
+        def run_probe(cc: _Carry):
             if method.name == "ste":
                 # STE compares the relaxed objective itself (ste.py:185-193).
                 obj = loss
             else:
                 obj = _probe_objective(
-                    model, params, c.latents, x, lmbda, method.name
+                    model, params, cc.latents, x, lmbda, method.name
                 )
-            improved = obj <= c.prev_obj
-            return c._replace(
+            improved = obj <= cc.prev_obj
+            return cc._replace(
                 saved=jax.tree.map(
                     lambda new, old: jnp.where(improved, new, old),
-                    c.latents,
-                    c.saved,
+                    cc.latents,
+                    cc.saved,
                 ),
-                prev_obj=jnp.where(improved, obj, c.prev_obj),
-                stopped=jnp.logical_or(c.stopped, ~improved),
+                prev_obj=jnp.where(improved, obj, cc.prev_obj),
+                stopped=jnp.logical_or(cc.stopped, ~improved),
             )
 
-        it_probe = (carry.it % probe == 0) | (carry.it == method.iterations - 1)
-        return lax.cond(it_probe, run_probe, lambda c: c, pre_loss_carry)
+        it_probe = (c.it % probe == 0) | (c.it == method.iterations - 1)
+        return lax.cond(it_probe, run_probe, lambda cc: cc, post_step)
 
-    init = _Carry(
-        latents=latents0,
-        adam=adam_init(latents0),
-        rng=rng,
-        it=jnp.zeros((), jnp.int32),
-        saved=latents0,
-        prev_obj=jnp.inf,
-        stopped=jnp.zeros((), bool),
-    )
-    carry = lax.while_loop(cond, body, init)
-    final = jax.tree.map(
-        lambda s, c: jnp.where(carry.stopped, s, c), carry.saved, carry.latents
-    )
-    return Latents(*final), jnp.zeros((0,), jnp.float32)
+    carry = lax.while_loop(cond, body, carry)
+    return carry, jnp.zeros((0,), jnp.float32)
+
+
+def _run_optimization(
+    model, params, x, lmbda, rng, method: MethodSpec, y0, z0, chunk_size: int = 200
+):
+    """Host-side chunk loop around _optimize_chunk. Returns (latents, losses)."""
+    carry = _init_carry(Latents(y=y0, z=z0), rng)
+    losses = []
+    its_done = 0
+    # Full-size chunks plus at most one remainder chunk (one extra compile).
+    while its_done < method.iterations:
+        this = min(chunk_size, method.iterations - its_done)
+        carry, chunk_losses = _optimize_chunk(
+            model, params, x, lmbda, method, this, carry
+        )
+        its_done += this
+        if not method.early_stop:
+            losses.append(chunk_losses)
+        elif bool(jax.device_get(carry.stopped)):
+            break
+    if method.early_stop:
+        final = jax.tree.map(
+            lambda s, c: jnp.where(carry.stopped, s, c), carry.saved, carry.latents
+        )
+        return Latents(*final), jnp.zeros((0,), jnp.float32)
+    return carry.latents, jnp.concatenate(losses) if losses else jnp.zeros((0,), jnp.float32)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -322,6 +345,7 @@ class LatentOptimizer:
         method: MethodSpec = SGA,
         rng: Optional[jax.Array] = None,
         seed: int = 0,
+        chunk_size: int = 200,
     ) -> Dict[str, Any]:
         """Run the full iterative inference for one image batch.
 
@@ -332,8 +356,9 @@ class LatentOptimizer:
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         y0, z0 = _amortized_init(self.model, self.params, x)
-        latents, losses = _optimize_impl(
-            self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0
+        latents, losses = _run_optimization(
+            self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0,
+            chunk_size=chunk_size,
         )
         transmitted = _quantize_transmitted(
             self.model, self.params, latents, method.name

@@ -53,6 +53,7 @@ class TrainConfig:
     save_checkpoint_secs: int = 300
     save_summary_secs: int = 60
     log_every: int = 100
+    logdir: str = ""
     num_devices: Optional[int] = None
 
     def resolved_runname(self) -> str:
@@ -203,12 +204,18 @@ class Trainer:
         verbose: bool = True,
     ) -> TrainState:
         """Run the training loop up to cfg.last_step (resumable)."""
+        from nic_tpu.train.summaries import SummaryWriter, ThroughputMeter
+
         cfg = self.cfg
         if state is None:
             state = self.restore_or_init()
         self._write_metadata()
         step_fn = self.step_fn
-        metrics_path = os.path.join(self.save_dir, "metrics.jsonl")
+        writer = SummaryWriter(
+            os.path.join(self.save_dir, "metrics.jsonl"),
+            logdir=os.path.join(cfg.logdir, cfg.resolved_runname()) if cfg.logdir else None,
+        )
+        meter = ThroughputMeter()
         last_ckpt = time.time()
         last_log = 0.0
         bsh = batch_sharding(self.mesh)
@@ -218,6 +225,7 @@ class Trainer:
             batch = jax.device_put(next(data), bsh)
             state, metrics = step_fn(state, batch)
             step += 1
+            meter.update(cfg.batchsize)
             if step % cfg.log_every == 0 or step == cfg.last_step:
                 metrics = jax.device_get(metrics)
                 loss = float(metrics["loss"])
@@ -226,14 +234,17 @@ class Trainer:
                         f"NaN/Inf loss at step {step}"  # NanTensorHook behavior
                     )
                 now = time.time()
+                rates = meter.rates()
                 if verbose and now - last_log >= 1.0:
                     last_log = now
                     print(
                         f"step={step} loss={loss:.4f} bpp={float(metrics['bpp']):.4f} "
-                        f"mse={float(metrics['mse']):.3f}"
+                        f"mse={float(metrics['mse']):.3f} "
+                        f"({rates['images_per_sec']:.1f} img/s)"
                     )
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}) + "\n")
+                writer.write(
+                    step, {**{k: float(v) for k, v in metrics.items()}, **rates}
+                )
                 if now - last_ckpt >= cfg.save_checkpoint_secs:
                     ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
                     last_ckpt = now
