@@ -55,6 +55,32 @@ def _synthesize_pass(model, params, y_hat, x_hw):
     return model.apply({"params": params}, y_hat, x_hw, method=model.synthesize)
 
 
+@partial(jax.jit, static_argnums=0)
+def _optimized_symbols(model, params, y_star, z_star):
+    """Symbols/rows for latents produced by SGA-style plain rounding.
+
+    z_star lives on the integer grid, coded against the integer-grid
+    factorized table; y_star is integer, coded as y_star - round(mu) against
+    the scale-indexed Gaussian tables (mu, sigma from z_star).
+    """
+    y_hw = (y_star.shape[1], y_star.shape[2])
+    mu, sigma = model.apply(
+        {"params": params}, z_star, y_hw, method=model.hyper_synthesize
+    )
+    y_symbols = (y_star - jnp.round(mu)).astype(jnp.int32)
+    y_indexes = _GC.scale_indexes(_GC.bound_scale(sigma))
+    return y_symbols, y_indexes
+
+
+@partial(jax.jit, static_argnums=0)
+def _optimized_dequantize_y(model, params, z_star, y_symbols):
+    y_hw = (y_symbols.shape[1], y_symbols.shape[2])
+    mu, _ = model.apply(
+        {"params": params}, z_star, y_hw, method=model.hyper_synthesize
+    )
+    return y_symbols.astype(jnp.float32) + jnp.round(mu)
+
+
 class HyperpriorCodec:
     """Bitstream encoder/decoder around trained MeanScaleHyperprior params."""
 
@@ -63,6 +89,7 @@ class HyperpriorCodec:
         self.params = params
         self.coder = RansCoder()
         self._z_table: Optional[CdfTable] = None
+        self._z_int_table: Optional[CdfTable] = None
         self._y_table: Optional[CdfTable] = None
 
     # ------------------------------------------------------------- tables
@@ -78,6 +105,20 @@ class HyperpriorCodec:
             )
             self._z_table = CdfTable.from_pmf(pmf, offsets, lengths, tail)
         return self._z_table
+
+    def z_int_table(self) -> CdfTable:
+        """Factorized-prior table over the plain integer grid, for coding
+        plainly-rounded z (the SGA/STE/danneal transmitted latents)."""
+        if self._z_int_table is None:
+            pmf, offsets, lengths, tail = jax.device_get(
+                self.model.apply(
+                    {"params": self.params},
+                    grid="integer",
+                    method=self.model.pmf_for_coding,
+                )
+            )
+            self._z_int_table = CdfTable.from_pmf(pmf, offsets, lengths, tail)
+        return self._z_int_table
 
     def y_table(self) -> CdfTable:
         """Per-scale-level Gaussian CDF tables (tfc GaussianConditional)."""
@@ -117,6 +158,65 @@ class HyperpriorCodec:
         packed.add_ints("z_shape", z_symbols.shape[1:3])
         packed.add_ints("batch", [x.shape[0]])
         return packed.pack(), out
+
+    def compress_optimized(self, y_star: np.ndarray, z_star: np.ndarray, x_hw) -> bytes:
+        """Serialize latents produced by SGA-style plain rounding into a real
+        bitstream — a capability beyond the reference, which only *estimates*
+        rates for the iterative methods (SURVEY.md section 3.4 note)."""
+        y_symbols, y_indexes = _optimized_symbols(
+            self.model, self.params, jnp.asarray(y_star), jnp.asarray(z_star)
+        )
+        y_symbols = np.asarray(jax.device_get(y_symbols))
+        y_indexes = np.asarray(jax.device_get(y_indexes))
+        z_int = np.asarray(z_star).astype(np.int32)
+
+        zt, yt = self.z_int_table(), self.y_table()
+        z_rows = np.broadcast_to(
+            np.arange(z_int.shape[-1], dtype=np.int32), z_int.shape
+        )
+        side_string = self.coder.encode(
+            zt.symbols_from_values(z_int, z_rows), z_rows, zt.cdfs, zt.cdf_sizes
+        )
+        string = self.coder.encode(
+            yt.symbols_from_values(y_symbols, y_indexes), y_indexes, yt.cdfs, yt.cdf_sizes
+        )
+        packed = PackedBitstream()
+        packed.add_stream("string", string)
+        packed.add_stream("side_string", side_string)
+        packed.add_ints("x_shape", x_hw)
+        packed.add_ints("y_shape", y_star.shape[1:3])
+        packed.add_ints("z_shape", z_star.shape[1:3])
+        packed.add_ints("batch", [y_star.shape[0]])
+        packed.add_ints("mode", [1])  # integer-grid latents
+        return packed.pack()
+
+    def decompress_optimized(self, blob: bytes) -> np.ndarray:
+        """Inverse of compress_optimized."""
+        packed = PackedBitstream.unpack(blob)
+        n = packed.get_ints("batch")[0]
+        xh, xw = packed.get_ints("x_shape")
+        yh, yw = packed.get_ints("y_shape")
+        zh, zw = packed.get_ints("z_shape")
+        c = self.model.num_filters
+
+        zt, yt = self.z_int_table(), self.y_table()
+        z_rows = np.broadcast_to(np.arange(c, dtype=np.int32), (n, zh, zw, c))
+        z_rel = self.coder.decode(
+            packed.get_stream("side_string"), z_rows, zt.cdfs, zt.cdf_sizes
+        )
+        z_star = jnp.asarray(zt.values_from_symbols(z_rel, z_rows), jnp.float32)
+
+        _, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_star, (yh, yw))
+        y_indexes = np.asarray(jax.device_get(y_indexes))
+        y_rel = self.coder.decode(
+            packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
+        )
+        y_symbols = yt.values_from_symbols(y_rel, y_indexes)
+        y_star = _optimized_dequantize_y(
+            self.model, self.params, z_star, jnp.asarray(y_symbols)
+        )
+        x_hat = _synthesize_pass(self.model, self.params, y_star, (xh, xw))
+        return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
 
     def decompress(self, blob: bytes) -> np.ndarray:
         """Inverse of compress: bitstream -> float [N,H,W,3] reconstruction

@@ -247,29 +247,45 @@ class FactorizedEntropyModel(nn.Module):
 
     # ------------------------------------------------------------ pmf export
 
-    def pmf_for_coding(self, max_length: int = 256):
-        """Per-channel PMFs over integer grids around the medians.
+    def pmf_for_coding(self, max_length: int = 256, grid: str = "median"):
+        """Per-channel PMFs over grids covering the learned support.
+
+        grid='median' (default): grid points are median + k for integer k —
+        the quantization grid of `quantize`/the EntropyBottleneck coding path
+        (symbols are round(x - median)). grid='integer': plain integers —
+        the grid of plainly-rounded latents (what SGA/STE/danneal transmit,
+        sga.py:240-241), enabling real bitstreams for those methods.
 
         Returns (pmf, offsets, lengths, tail_mass_per_channel):
-          pmf:     (C, max_length) likelihoods at medians + offset + i
-          offsets: (C,) integer offset of the first grid point relative to
-                   the median (i.e. grid = median + offsets + arange)
+          pmf:     (C, max_length) likelihood at grid point offsets + i
+                   (plus median for grid='median')
+          offsets: (C,) integer offset of the first grid point
           lengths: (C,) valid symbols per channel
-        The support is derived from the learned tail quantiles, mirroring the
+        The support derives from the learned tail quantiles, mirroring the
         EntropyBottleneck update op the reference triggers each train step
-        (mbt2018.py:123). Runs under jit; the quantized-CDF conversion
-        happens on host in nic_tpu.coding.tables.
+        (mbt2018.py:123). Runs under jit; quantized-CDF conversion happens
+        on host in nic_tpu.coding.tables.
         """
         q = self.quantiles[:, 0, :]
         medians = q[:, 1]
-        minima = jnp.maximum(jnp.ceil(medians - q[:, 0]).astype(jnp.int32), 0)
-        maxima = jnp.maximum(jnp.ceil(q[:, 2] - medians).astype(jnp.int32), 0)
-        lengths = jnp.minimum(minima + maxima + 1, max_length)
-        offsets = -minima
+        if grid == "median":
+            minima = jnp.maximum(jnp.ceil(medians - q[:, 0]).astype(jnp.int32), 0)
+            maxima = jnp.maximum(jnp.ceil(q[:, 2] - medians).astype(jnp.int32), 0)
+            lengths = jnp.minimum(minima + maxima + 1, max_length)
+            offsets = -minima
+            base = medians[:, None]
+        elif grid == "integer":
+            lo = jnp.floor(q[:, 0]).astype(jnp.int32)
+            hi = jnp.ceil(q[:, 2]).astype(jnp.int32)
+            lengths = jnp.minimum(hi - lo + 1, max_length)
+            offsets = lo
+            base = jnp.zeros_like(medians)[:, None]
+        else:
+            raise ValueError(f"Unknown grid {grid!r}")
         idx = jnp.arange(max_length)[None, :]
-        grid = medians[:, None] + offsets[:, None].astype(jnp.float32) + idx.astype(jnp.float32)
-        # likelihood expects channels-last; grid is (C, L) so feed (L, C).
-        pmf = self.likelihood(grid.T, stop_gradient_density=True).T
+        points = base + offsets[:, None].astype(jnp.float32) + idx.astype(jnp.float32)
+        # likelihood expects channels-last; points is (C, L) so feed (L, C).
+        pmf = self.likelihood(points.T, stop_gradient_density=True).T
         valid = idx < lengths[:, None]
         pmf = jnp.where(valid, pmf, 0.0)
         tail = jnp.maximum(1.0 - jnp.sum(pmf, axis=1), 0.0)

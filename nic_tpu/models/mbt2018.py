@@ -98,8 +98,8 @@ class MeanScaleHyperprior(nn.Module):
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
-    def pmf_for_coding(self, max_length: int = 256):
-        return self.entropy_bottleneck.pmf_for_coding(max_length)
+    def pmf_for_coding(self, max_length: int = 256, grid: str = "median"):
+        return self.entropy_bottleneck.pmf_for_coding(max_length, grid=grid)
 
     # -------------------------------------------------------------- forward
 

@@ -59,3 +59,34 @@ class TestCodecRoundtrip:
         b1, _ = codec.compress(image)
         b2, _ = codec.compress(image)
         assert isinstance(b1, bytes) and b1 == b2
+
+
+class TestOptimizedLatentCoding:
+    """Real bitstreams for SGA-style plainly-rounded latents (beyond the
+    reference, which never serializes them)."""
+
+    def test_roundtrip(self, codec, image):
+        from nic_tpu.infer import SGA, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=20))
+        blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
+        x_hat = codec.decompress_optimized(blob)
+        assert x_hat.shape == image.shape
+        # Reconstruction must match synthesizing the optimized latents.
+        expected = np.clip(np.asarray(res["x_tilde"]), 0.0, 1.0)
+        np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+
+    def test_actual_bits_near_estimate(self, codec, image):
+        from nic_tpu.infer import SGA, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=20))
+        blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
+        num_pixels = image.shape[0] * image.shape[1] * image.shape[2]
+        actual_bits = len(blob) * 8
+        est_bits = float(np.mean(res["est_bpp"])) * num_pixels
+        # round(mu)-shifted coding costs a bit over the exact-mu estimate,
+        # plus fixed container/flush overhead (~200 bytes) which dominates
+        # at toy image sizes.
+        assert actual_bits < est_bits * 1.4 + 8 * 250
