@@ -8,7 +8,7 @@ reference transforms (nn_models.py:14-163). Downsampling uses
 throughout — the layout XLA:TPU prefers for image convs.
 """
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,6 +24,11 @@ class SignalConv(nn.Module):
     Equivalent capability to tfc.SignalConv2D with ``padding='same_zeros'``:
     ``strides_down=s`` -> strided conv (corr), output ceil(H/s);
     ``strides_up=s``   -> transposed conv, output H*s.
+
+    ``dtype`` is the computation dtype: parameters are always stored fp32;
+    with dtype=bfloat16 the input and kernel are cast down before the conv
+    (halving HBM traffic on the hot inference path) while the MXU still
+    accumulates in fp32.
     """
 
     features: int
@@ -31,6 +36,7 @@ class SignalConv(nn.Module):
     strides_down: int = 1
     strides_up: int = 1
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -38,31 +44,33 @@ class SignalConv(nn.Module):
             raise ValueError("Cannot both down- and up-sample.")
         in_ch = x.shape[-1]
         kernel_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+        w = self.param(
+            "kernel", kernel_init, (*self.kernel, in_ch, self.features), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        w = w.astype(self.dtype)
         if self.strides_up > 1:
-            w = self.param(
-                "kernel", kernel_init, (*self.kernel, in_ch, self.features), jnp.float32
-            )
             y = lax.conv_transpose(
                 x,
                 w,
                 strides=(self.strides_up, self.strides_up),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
             )
         else:
-            w = self.param(
-                "kernel", kernel_init, (*self.kernel, in_ch, self.features), jnp.float32
-            )
             y = lax.conv_general_dilated(
                 x,
                 w,
                 window_strides=(self.strides_down, self.strides_down),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
             )
+        y = y.astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + b
+            y = y + b.astype(self.dtype)
         return y
 
 
@@ -79,6 +87,7 @@ class GDN(nn.Module):
     inverse: bool = False
     beta_min: float = 1e-6
     reparam_offset: float = 2 ** -18
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -99,4 +108,9 @@ class GDN(nn.Module):
         gamma_v = self.param("gamma", gamma_init, (c, c))
         beta = jnp.square(lower_bound(beta_v, beta_bound)) - pedestal
         gamma = jnp.square(lower_bound(gamma_v, gamma_bound)) - pedestal
-        return gdn_op(x, beta, gamma, inverse=self.inverse)
+        return gdn_op(
+            x.astype(self.dtype),
+            beta,
+            gamma.astype(self.dtype),
+            inverse=self.inverse,
+        )

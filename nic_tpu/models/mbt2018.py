@@ -37,16 +37,25 @@ LN2 = 0.6931471805599453
 
 
 class MeanScaleHyperprior(nn.Module):
-    """The base hyperprior model (mbt2018.py:50-89)."""
+    """The base hyperprior model (mbt2018.py:50-89).
+
+    ``compute_dtype``: dtype of the transform convolutions (parameters stay
+    fp32; likelihood/rate math always runs fp32). bfloat16 roughly halves
+    the per-iteration cost of the iterative-inference engines on TPU.
+    """
 
     num_filters: int = 192
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         n = self.num_filters
-        self.analysis = AnalysisTransform(n)
-        self.synthesis = SynthesisTransform(n)
-        self.hyper_analysis = HyperAnalysisTransform(n)
-        self.hyper_synthesis = MBT2018HyperSynthesisTransform(n, num_output_filters=2 * n)
+        dt = self.compute_dtype
+        self.analysis = AnalysisTransform(n, dtype=dt)
+        self.synthesis = SynthesisTransform(n, dtype=dt)
+        self.hyper_analysis = HyperAnalysisTransform(n, dtype=dt)
+        self.hyper_synthesis = MBT2018HyperSynthesisTransform(
+            n, num_output_filters=2 * n, dtype=dt
+        )
         self.entropy_bottleneck = FactorizedEntropyModel(channels=n)
         self.conditional = GaussianConditional()
 

@@ -36,14 +36,18 @@ class BitsBackHyperprior(nn.Module):
     """Hyperprior with Gaussian hyper-posterior for bits-back coding."""
 
     num_filters: int = 192
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         n = self.num_filters
-        self.analysis = AnalysisTransform(n)
-        self.synthesis = SynthesisTransform(n)
+        dt = self.compute_dtype
+        self.analysis = AnalysisTransform(n, dtype=dt)
+        self.synthesis = SynthesisTransform(n, dtype=dt)
         # h_a emits (mean, logvar): 2N output channels (mbt2018_bb.py:58).
-        self.hyper_analysis = HyperAnalysisTransform(n, num_output_filters=2 * n)
-        self.hyper_synthesis = MBT2018HyperSynthesisTransform(n, num_output_filters=2 * n)
+        self.hyper_analysis = HyperAnalysisTransform(n, num_output_filters=2 * n, dtype=dt)
+        self.hyper_synthesis = MBT2018HyperSynthesisTransform(
+            n, num_output_filters=2 * n, dtype=dt
+        )
         # Flexible prior on z (mbt2018_bb.py:73-74); quantiles unused here
         # but harmless — this model never quantizes z.
         self.hyper_prior = FactorizedEntropyModel(channels=n, dims=(3, 3, 3))

@@ -13,7 +13,7 @@ Down/up factors: g_a downsamples 16x, h_a another 4x (total 64x); all scripts
 rely on these strides for shape bookkeeping.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,28 +25,33 @@ class AnalysisTransform(nn.Module):
     """Image -> latent encoder g_a (nn_models.py:5-36)."""
 
     num_filters: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(3):
-            x = SignalConv(self.num_filters, (5, 5), strides_down=2, name=f"layer_{i}")(x)
-            x = GDN(name=f"gdn_{i}")(x)
-        x = SignalConv(self.num_filters, (5, 5), strides_down=2, name="layer_3")(x)
-        return x
+            x = SignalConv(self.num_filters, (5, 5), strides_down=2,
+                           dtype=self.dtype, name=f"layer_{i}")(x)
+            x = GDN(dtype=self.dtype, name=f"gdn_{i}")(x)
+        x = SignalConv(self.num_filters, (5, 5), strides_down=2,
+                       dtype=self.dtype, name="layer_3")(x)
+        return x.astype(jnp.float32)
 
 
 class SynthesisTransform(nn.Module):
     """Latent -> image decoder g_s (nn_models.py:39-70)."""
 
     num_filters: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, y):
         for i in range(3):
-            y = SignalConv(self.num_filters, (5, 5), strides_up=2, name=f"layer_{i}")(y)
-            y = GDN(inverse=True, name=f"igdn_{i}")(y)
-        y = SignalConv(3, (5, 5), strides_up=2, name="layer_3")(y)
-        return y
+            y = SignalConv(self.num_filters, (5, 5), strides_up=2,
+                           dtype=self.dtype, name=f"layer_{i}")(y)
+            y = GDN(inverse=True, dtype=self.dtype, name=f"igdn_{i}")(y)
+        y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype, name="layer_3")(y)
+        return y.astype(jnp.float32)
 
 
 class HyperAnalysisTransform(nn.Module):
@@ -58,14 +63,18 @@ class HyperAnalysisTransform(nn.Module):
 
     num_filters: int
     num_output_filters: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, y):
         out = self.num_output_filters or self.num_filters
-        y = nn.relu(SignalConv(self.num_filters, (3, 3), strides_down=1, name="layer_0")(y))
-        y = nn.relu(SignalConv(self.num_filters, (5, 5), strides_down=2, name="layer_1")(y))
-        y = SignalConv(out, (5, 5), strides_down=2, use_bias=False, name="layer_2")(y)
-        return y
+        y = nn.relu(SignalConv(self.num_filters, (3, 3), strides_down=1,
+                               dtype=self.dtype, name="layer_0")(y))
+        y = nn.relu(SignalConv(self.num_filters, (5, 5), strides_down=2,
+                               dtype=self.dtype, name="layer_1")(y))
+        y = SignalConv(out, (5, 5), strides_down=2, use_bias=False,
+                       dtype=self.dtype, name="layer_2")(y)
+        return y.astype(jnp.float32)
 
 
 class HyperSynthesisTransform(nn.Module):
@@ -76,14 +85,17 @@ class HyperSynthesisTransform(nn.Module):
 
     num_filters: int
     num_output_filters: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         out = self.num_output_filters or self.num_filters
-        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_0")(z))
-        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_1")(z))
-        z = SignalConv(out, (3, 3), strides_up=1, name="layer_2")(z)
-        return z
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2,
+                               dtype=self.dtype, name="layer_0")(z))
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2,
+                               dtype=self.dtype, name="layer_1")(z))
+        z = SignalConv(out, (3, 3), strides_up=1, dtype=self.dtype, name="layer_2")(z)
+        return z.astype(jnp.float32)
 
 
 class MBT2018HyperSynthesisTransform(nn.Module):
@@ -94,13 +106,16 @@ class MBT2018HyperSynthesisTransform(nn.Module):
 
     num_filters: int
     num_output_filters: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         out = self.num_output_filters or self.num_filters
-        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2, name="layer_0")(z))
+        z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2,
+                               dtype=self.dtype, name="layer_0")(z))
         z = nn.relu(
-            SignalConv(int(self.num_filters * 1.5), (5, 5), strides_up=2, name="layer_1")(z)
+            SignalConv(int(self.num_filters * 1.5), (5, 5), strides_up=2,
+                       dtype=self.dtype, name="layer_1")(z)
         )
-        z = SignalConv(out, (3, 3), strides_up=1, name="layer_2")(z)
-        return z
+        z = SignalConv(out, (3, 3), strides_up=1, dtype=self.dtype, name="layer_2")(z)
+        return z.astype(jnp.float32)

@@ -21,9 +21,15 @@ def gdn(x, beta, gamma, inverse: bool = False):
       gamma: [C, C] nonnegative mixing weights.
       inverse: if True computes IGDN (synthesis direction).
     """
-    norm = jnp.matmul(
-        jnp.square(x), gamma, precision=lax.Precision.HIGHEST
+    # fp32 accumulation regardless of the activation dtype; the normalizer
+    # itself (add beta, rsqrt) stays fp32 for stability.
+    norm = lax.dot_general(
+        jnp.square(x),
+        gamma,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     ) + beta
     if inverse:
-        return x * jnp.sqrt(norm)
-    return x * lax.rsqrt(norm)
+        return (x * jnp.sqrt(norm).astype(x.dtype)).astype(x.dtype)
+    return (x * lax.rsqrt(norm).astype(x.dtype)).astype(x.dtype)

@@ -155,3 +155,21 @@ class TestBitsBackHyperprior:
         variables = model.init(jax.random.PRNGKey(0), x, training=True, rng=jax.random.PRNGKey(1))
         out = model.apply(variables, x, training=True, rng=jax.random.PRNGKey(2))
         assert float(out["sigma"].max()) <= 10.0 ** 0.5 + 1e-5
+
+
+class TestBF16ComputeDtype:
+    def test_bf16_close_to_fp32(self):
+        """bfloat16 transform compute must track fp32 closely; likelihood
+        math stays fp32 either way."""
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        m32 = MeanScaleHyperprior(num_filters=N)
+        v = m32.init(jax.random.PRNGKey(1), x, training=True, rng=jax.random.PRNGKey(2))
+        m16 = MeanScaleHyperprior(num_filters=N, compute_dtype=jnp.bfloat16)
+        out32 = m32.apply(v, x, training=False)
+        out16 = m16.apply(v, x, training=False)
+        # Latents and reconstruction agree to bf16 tolerance.
+        assert out16["x_tilde"].dtype == jnp.float32
+        np.testing.assert_allclose(out32["x_tilde"], out16["x_tilde"], atol=0.03)
+        l32, _ = rd_loss(out32, x, 0.01)
+        l16, _ = rd_loss(out16, x, 0.01)
+        assert abs(float(l32) - float(l16)) / abs(float(l32)) < 0.05
