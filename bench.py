@@ -1,20 +1,31 @@
 """Headline benchmark: SGA iterative-inference throughput per chip.
 
 The reference's flagship workload (sga.py: 2000 host-round-trip Adam steps
-per image batch) rebuilt as a single jitted lax.scan. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+per image batch) rebuilt as jit-compiled on-device scans. Prints ONE JSON
+line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the TF1 reference runs 2000 sess.run round trips per batch; the
-paper reports SGA inference on the order of a minute per Kodak image on a
-contemporary GPU. We use 1/60 images/sec as the reference throughput
-anchor (BASELINE.md publishes no speed numbers; BASELINE.json's north star
-is >= 10x this).
+Config mirrors the reference's own eval batching: Kodak-sized images at the
+1e7-pixel batch budget (configs.py:5-9 gives round(1e7/393216) = 25 images;
+we use 24), full 2000 iterations, num_filters=192. Transform convolutions
+run in bfloat16 (validated against fp32 in tests); likelihood/rate math is
+fp32.
+
+Baseline: the TF1 reference runs 2000 sess.run round trips per batch; SGA
+inference costs on the order of a minute per Kodak image on a contemporary
+GPU. We anchor the reference throughput at 1/60 images/sec (BASELINE.md
+publishes no speed numbers; BASELINE.json's north star is >= 10x this).
 """
 
 import json
+import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nic_tpu_jax_cache")
+
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,11 +37,11 @@ def main():
     from nic_tpu.infer.methods import SGA
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
 
-    batch = 4
+    batch = 24
     h, w = 768, 512  # Kodak-sized
     iterations = 2000  # the reference's fixed setting (sga.py:192)
 
-    model = MeanScaleHyperprior(num_filters=192)
+    model = MeanScaleHyperprior(num_filters=192, compute_dtype=jnp.bfloat16)
     x0 = jnp.zeros((batch, h, w, 3), jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0), x0, training=True, rng=jax.random.PRNGKey(1)
@@ -40,22 +51,20 @@ def main():
         np.random.default_rng(0).random((batch, h, w, 3), dtype=np.float32)
     )
 
-    spec = SGA  # full 2000-iteration config
-    # Warmup: compile.
-    res = opt.optimize(x, lmbda=0.01, method=spec, seed=0)
-    assert np.all(np.isfinite(res["est_bpp"]))
+    # Warmup: compile all chunked programs with a short run.
+    warm = opt.optimize(x, lmbda=0.01, method=SGA.replace(iterations=400), seed=0)
+    assert np.all(np.isfinite(warm["est_bpp"]))
 
     t0 = time.perf_counter()
-    runs = 2
-    for s in range(runs):
-        res = opt.optimize(x, lmbda=0.01, method=spec, seed=s + 1)
+    res = opt.optimize(x, lmbda=0.01, method=SGA, seed=1)
     dt = time.perf_counter() - t0
-    images_per_sec = (batch * runs) / dt
+    assert np.all(np.isfinite(res["est_bpp"]))
+    images_per_sec = batch / dt
 
     print(
         json.dumps(
             {
-                "metric": f"SGA inference throughput ({iterations} its, {h}x{w}, nf=192)",
+                "metric": f"SGA inference throughput ({iterations} its, {h}x{w}, nf=192, bf16)",
                 "value": round(images_per_sec, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),

@@ -28,7 +28,7 @@ class SignalConv(nn.Module):
     ``dtype`` is the computation dtype: parameters are always stored fp32;
     with dtype=bfloat16 the input and kernel are cast down before the conv
     (halving HBM traffic on the hot inference path) while the MXU still
-    accumulates in fp32.
+    accumulates partial products in fp32 internally.
     """
 
     features: int
@@ -56,7 +56,6 @@ class SignalConv(nn.Module):
                 strides=(self.strides_up, self.strides_up),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
         else:
             y = lax.conv_general_dilated(
@@ -65,9 +64,7 @@ class SignalConv(nn.Module):
                 window_strides=(self.strides_down, self.strides_down),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
-        y = y.astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(self.dtype)
@@ -88,6 +85,7 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     reparam_offset: float = 2 ** -18
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -113,4 +111,5 @@ class GDN(nn.Module):
             beta,
             gamma.astype(self.dtype),
             inverse=self.inverse,
+            use_pallas=self.use_pallas,
         )

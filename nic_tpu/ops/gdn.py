@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def gdn(x, beta, gamma, inverse: bool = False):
+def gdn(x, beta, gamma, inverse: bool = False, use_pallas: bool = False):
     """Apply (inverse) GDN over the channel-last axis.
 
     y_j = x_j / sqrt(beta_j + sum_i gamma[i, j] * x_i^2)   (inverse: multiply)
@@ -20,7 +20,13 @@ def gdn(x, beta, gamma, inverse: bool = False):
       beta: [C] nonnegative offsets.
       gamma: [C, C] nonnegative mixing weights.
       inverse: if True computes IGDN (synthesis direction).
+      use_pallas: route through the fused Pallas TPU kernel
+        (nic_tpu.ops.pallas_gdn) instead of relying on XLA fusion.
     """
+    if use_pallas:
+        from nic_tpu.ops.pallas_gdn import gdn_pallas
+
+        return gdn_pallas(x, beta, gamma, inverse=inverse)
     # fp32 accumulation regardless of the activation dtype; the normalizer
     # itself (add beta, rsqrt) stays fp32 for stability.
     norm = lax.dot_general(

@@ -36,3 +36,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch sharded along the data axis."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization for training sweeps.
+
+    The reference is single-process (SURVEY.md section 2.3); for multi-host
+    pods this defers to standard JAX distributed init — afterwards
+    jax.devices() spans all hosts and the same data_mesh()/pjit code path
+    scales across DCN with no further changes. No-op when already
+    initialized or when running single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None:
+        return  # single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -196,6 +196,17 @@ class Trainer:
             f.write(json.dumps(args, indent=4, sort_keys=True) + "\n\n")
         with open(os.path.join(self.save_dir, "args.json"), "w") as f:
             json.dump(args, f, indent=4, sort_keys=True)
+        # Reproducibility-by-snapshot: copy the model source next to the
+        # checkpoints (tf_boilerplate.py:60-63).
+        import inspect
+        import shutil
+
+        try:
+            src = inspect.getsourcefile(type(self.model))
+            if src:
+                shutil.copy(src, self.save_dir)
+        except (OSError, TypeError):
+            pass
 
     def fit(
         self,
