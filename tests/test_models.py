@@ -173,3 +173,26 @@ class TestBF16ComputeDtype:
         l32, _ = rd_loss(out32, x, 0.01)
         l16, _ = rd_loss(out16, x, 0.01)
         assert abs(float(l32) - float(l16)) / abs(float(l32)) < 0.05
+
+
+class TestSubpixelEquivalence:
+    def test_subpixel_matches_conv_transpose(self):
+        """The subpixel upsampling path must be element-exact with
+        lax.conv_transpose (stride 2, SAME)."""
+        from nic_tpu.models.layers import _depth_to_space2, _subpixel_kernel_up2
+
+        rng = np.random.default_rng(0)
+        for k, ci, co, h, w in ((5, 4, 6, 9, 7), (3, 3, 5, 6, 6)):
+            x = jnp.asarray(rng.normal(size=(2, h, w, ci)).astype(np.float32))
+            kern = jnp.asarray(rng.normal(size=(k, k, ci, co)).astype(np.float32))
+            ref = jax.lax.conv_transpose(
+                x, kern, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            got = _depth_to_space2(
+                jax.lax.conv_general_dilated(
+                    x, _subpixel_kernel_up2(kern), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ),
+                co,
+            )
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
