@@ -50,6 +50,9 @@ class SynthesisTransform(nn.Module):
             y = SignalConv(self.num_filters, (5, 5), strides_up=2,
                            dtype=self.dtype, name=f"layer_{i}")(y)
             y = GDN(inverse=True, dtype=self.dtype, name=f"igdn_{i}")(y)
+        # Note: routing this 192->3 layer through the subpixel rewrite was
+        # benchmarked at -2% end-to-end despite its small channel counts;
+        # XLA's transposed-conv emitters already handle it well.
         y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype, name="layer_3")(y)
         return y.astype(jnp.float32)
 

@@ -28,14 +28,29 @@ def gdn(x, beta, gamma, inverse: bool = False, use_pallas: bool = False):
 
         return gdn_pallas(x, beta, gamma, inverse=inverse)
     # fp32 accumulation regardless of the activation dtype; the normalizer
-    # itself (add beta, rsqrt) stays fp32 for stability.
-    norm = lax.dot_general(
-        jnp.square(x),
-        gamma,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) + beta
+    # itself (add beta, rsqrt) stays fp32 for stability. On NHWC tensors the
+    # channel mix runs as a 1x1 conv rather than a dot_general: it keeps the
+    # conv-friendly layout and saves XLA a layout copy of the full
+    # activation on either side of the surrounding 5x5 convs.
+    if x.ndim == 4:
+        # Same-dtype conv (the conv VJP cannot mix cotangent dtypes); the
+        # MXU still accumulates fp32 internally, and the add/rsqrt run fp32.
+        norm = lax.conv_general_dilated(
+            jnp.square(x),
+            gamma[None, None].astype(x.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        ).astype(jnp.float32) + beta
+    else:
+        norm = lax.dot_general(
+            jnp.square(x),
+            gamma,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + beta
     if inverse:
         return (x * jnp.sqrt(norm).astype(x.dtype)).astype(x.dtype)
     return (x * lax.rsqrt(norm).astype(x.dtype)).astype(x.dtype)
