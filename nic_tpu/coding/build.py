@@ -22,6 +22,7 @@ def library_path() -> str:
                 "-std=c++17",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-o",
                 _LIB,
                 _SRC,

@@ -7,6 +7,8 @@ host boundary, mirroring where the reference crosses into TF's C++ kernels.
 """
 
 import ctypes
+import os
+from typing import List, Sequence
 
 import numpy as np
 
@@ -14,6 +16,7 @@ from nic_tpu.coding.build import library_path
 from nic_tpu.config import CODER_PRECISION
 
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
@@ -35,6 +38,19 @@ class RansCoder:
             _u8p, ctypes.c_int64, _i32p, ctypes.c_int64,
             _u32p, ctypes.c_int64, _i32p,
             ctypes.c_int32, _i32p,
+        ]
+        lib.rans_encode_batch.restype = ctypes.c_int64
+        lib.rans_encode_batch.argtypes = [
+            _i32p, _i32p, ctypes.c_int64, ctypes.c_int32,
+            _u32p, ctypes.c_int64, _i32p, ctypes.c_int32,
+            _u8p, ctypes.c_int64, _i64p, ctypes.c_int32,
+        ]
+        lib.rans_decode_batch.restype = ctypes.c_int64
+        lib.rans_decode_batch.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int32,
+            _i32p, ctypes.c_int64,
+            _u32p, ctypes.c_int64, _i32p, ctypes.c_int32,
+            _i32p, ctypes.c_int32,
         ]
         self._lib = lib
 
@@ -68,6 +84,70 @@ class RansCoder:
         if n < 0:
             raise ValueError(f"rans_encode failed with code {n}")
         return out[:n].tobytes()
+
+    def encode_batch(
+        self,
+        symbols: np.ndarray,   # [N, ...] one stream per leading index
+        indexes: np.ndarray,
+        cdfs: np.ndarray,
+        cdf_sizes: np.ndarray,
+        num_threads: int = 0,
+    ) -> List[bytes]:
+        """Encode N independent streams in parallel C++ threads."""
+        n_items = symbols.shape[0]
+        symbols = np.ascontiguousarray(symbols.reshape(n_items, -1), np.int32)
+        indexes = np.ascontiguousarray(indexes.reshape(n_items, -1), np.int32)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+        n_per = symbols.shape[1]
+        capacity = n_per * 8 + 1024
+        out = np.empty(n_items * capacity, np.uint8)
+        sizes = np.empty(n_items, np.int64)
+        if num_threads <= 0:
+            num_threads = min(n_items, os.cpu_count() or 1)
+        status = self._lib.rans_encode_batch(
+            symbols, indexes, n_per, n_items,
+            cdfs, cdfs.shape[1], cdf_sizes, self.precision,
+            out, capacity, sizes, num_threads,
+        )
+        if status < 0:
+            raise ValueError(f"rans_encode_batch failed with code {status}")
+        return [
+            out[i * capacity : i * capacity + sizes[i]].tobytes()
+            for i in range(n_items)
+        ]
+
+    def decode_batch(
+        self,
+        streams: Sequence[bytes],
+        indexes: np.ndarray,
+        cdfs: np.ndarray,
+        cdf_sizes: np.ndarray,
+        num_threads: int = 0,
+    ) -> np.ndarray:
+        """Decode N independent streams in parallel C++ threads."""
+        n_items = len(streams)
+        shape = indexes.shape
+        indexes = np.ascontiguousarray(indexes.reshape(n_items, -1), np.int32)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+        n_per = indexes.shape[1]
+        sizes = np.asarray([len(s) for s in streams], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
+        blob = np.frombuffer(b"".join(streams), np.uint8)
+        blob = np.ascontiguousarray(blob)
+        out = np.empty(n_items * n_per, np.int32)
+        if num_threads <= 0:
+            num_threads = min(n_items, os.cpu_count() or 1)
+        status = self._lib.rans_decode_batch(
+            blob, offsets, sizes, n_items,
+            indexes, n_per,
+            cdfs, cdfs.shape[1], cdf_sizes, self.precision,
+            out, num_threads,
+        )
+        if status < 0:
+            raise ValueError(f"rans_decode_batch failed with code {status}")
+        return out.reshape(shape)
 
     def decode(
         self,

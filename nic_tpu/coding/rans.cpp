@@ -21,6 +21,7 @@
 //
 // Build: g++ -O3 -shared -fPIC rans.cpp -o librans.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -185,6 +186,94 @@ int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
     }
   }
   return n;
+}
+
+// ---------------------------------------------------------------- batching
+//
+// One independent rANS stream per item (image), encoded/decoded across a
+// thread pool. Streams are independent so decode can also parallelize —
+// this is the host-side throughput path for production serving, where the
+// device forward is fast and entropy coding would otherwise serialize.
+
+int64_t rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
+                          int64_t n_per_item, int32_t n_items,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision,
+                          uint8_t* out, int64_t capacity_per_item,
+                          int64_t* out_sizes, int32_t n_threads);
+
+int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* offsets,
+                          const int64_t* sizes, int32_t n_items,
+                          const int32_t* indexes, int64_t n_per_item,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision,
+                          int32_t* out_symbols, int32_t n_threads);
+
+}  // extern "C"
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+template <typename Fn>
+void parallel_for_items(int32_t n_items, int32_t n_threads, Fn&& fn) {
+  if (n_threads <= 1 || n_items <= 1) {
+    for (int32_t i = 0; i < n_items; ++i) fn(i);
+    return;
+  }
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n_items) break;
+      fn(i);
+    }
+  };
+  const int32_t k =
+      std::min<int32_t>(n_threads, n_items);
+  std::vector<std::thread> threads;
+  threads.reserve(k);
+  for (int32_t t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
+                          int64_t n_per_item, int32_t n_items,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision,
+                          uint8_t* out, int64_t capacity_per_item,
+                          int64_t* out_sizes, int32_t n_threads) {
+  std::atomic<int64_t> status(0);
+  parallel_for_items(n_items, n_threads, [&](int32_t i) {
+    const int64_t r = rans_encode(
+        symbols + i * n_per_item, indexes + i * n_per_item, n_per_item, cdfs,
+        stride, cdf_sizes, precision, out + i * capacity_per_item,
+        capacity_per_item);
+    out_sizes[i] = r;
+    if (r < 0) status.store(r);
+  });
+  return status.load();
+}
+
+int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* offsets,
+                          const int64_t* sizes, int32_t n_items,
+                          const int32_t* indexes, int64_t n_per_item,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision,
+                          int32_t* out_symbols, int32_t n_threads) {
+  std::atomic<int64_t> status(0);
+  parallel_for_items(n_items, n_threads, [&](int32_t i) {
+    const int64_t r = rans_decode(
+        bytes + offsets[i], sizes[i], indexes + i * n_per_item, n_per_item,
+        cdfs, stride, cdf_sizes, precision, out_symbols + i * n_per_item);
+    if (r != n_per_item) status.store(r < 0 ? r : -5);
+  });
+  return status.load();
 }
 
 }  // extern "C"

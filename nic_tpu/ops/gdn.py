@@ -35,13 +35,22 @@ def gdn(x, beta, gamma, inverse: bool = False, use_pallas: bool = False):
     if x.ndim == 4:
         # Same-dtype conv (the conv VJP cannot mix cotangent dtypes); the
         # MXU still accumulates fp32 internally, and the add/rsqrt run fp32.
+        # Precision: HIGHEST only for fp32 activations — for bf16 compute
+        # it would force 6-pass fp32 passes in the conv *gradient* (the
+        # cotangent is fp32), which measured ~18% of an SGA step.
+        precision = (
+            lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+        )
+        # The normalizer (add beta, rsqrt) runs fp32: a bf16 normalizer was
+        # benchmarked 45% SLOWER end-to-end (bf16 rsqrt/divide chains lower
+        # poorly), so only the conv inputs follow the activation dtype.
         norm = lax.conv_general_dilated(
             jnp.square(x),
             gamma[None, None].astype(x.dtype),
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
         ).astype(jnp.float32) + beta
     else:
         norm = lax.dot_general(

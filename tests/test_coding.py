@@ -124,3 +124,31 @@ class TestContainer:
     def test_rejects_garbage(self):
         with pytest.raises(ValueError):
             PackedBitstream.unpack(b"JUNKxxxx")
+
+
+class TestBatchCoding:
+    """Thread-parallel per-image streams (production host-coding path)."""
+
+    def test_batch_roundtrip_matches_single(self, coder, rng):
+        table = make_gaussian_table()
+        n_items, n_per = 6, 5000
+        indexes = rng.integers(0, 4, (n_items, n_per)).astype(np.int32)
+        scales = np.array([0.5, 1.0, 4.0, 16.0])[indexes]
+        values = np.round(rng.normal(0, scales)).astype(np.int32)
+        symbols = values - table.offsets[indexes]
+        streams = coder.encode_batch(symbols, indexes, table.cdfs, table.cdf_sizes)
+        assert len(streams) == n_items
+        # Each stream must equal the single-stream encoding of that item.
+        for i in range(n_items):
+            single = coder.encode(symbols[i], indexes[i], table.cdfs, table.cdf_sizes)
+            assert streams[i] == single
+        decoded = coder.decode_batch(streams, indexes, table.cdfs, table.cdf_sizes)
+        np.testing.assert_array_equal(decoded, symbols)
+
+    def test_batch_single_item(self, coder, rng):
+        table = make_gaussian_table()
+        indexes = rng.integers(0, 4, (1, 100)).astype(np.int32)
+        symbols = np.zeros_like(indexes)
+        streams = coder.encode_batch(symbols, indexes, table.cdfs, table.cdf_sizes)
+        decoded = coder.decode_batch(streams, indexes, table.cdfs, table.cdf_sizes)
+        np.testing.assert_array_equal(decoded, symbols)
