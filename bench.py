@@ -37,7 +37,7 @@ def main():
     from nic_tpu.infer.methods import SGA
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
 
-    batch = 24
+    batch = 24  # reference pixel budget: round(1e7 / 393216) = 25 Kodak images
     h, w = 768, 512  # Kodak-sized
     iterations = 2000  # the reference's fixed setting (sga.py:192)
 
