@@ -56,9 +56,23 @@ def _relax(method: str, v, temperature, rng):
     raise ValueError(f"Unknown relaxation {method!r}")
 
 
-def _forward(model, params, latents: Latents, x, temperature, rng, method: str):
+def _space_to_depth2(x):
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), channel order matching the
+    block-space synthesis output (phase-major: (r*2+t)*C + c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _forward(model, params, latents: Latents, x, temperature, rng, method: str,
+             block_space: bool = False):
     """Relax -> likelihoods -> reconstruction, mirroring the per-script
-    compression graphs (e.g. sga.py:77-136)."""
+    compression graphs (e.g. sga.py:77-136).
+
+    With block_space=True the reconstruction comes back in 2x2-block space
+    (pixels identical, reordered) — only valid for even image sizes and only
+    used inside the reorder-invariant MSE of the optimization loss.
+    """
     ky, kz = jax.random.split(rng)
     z_tilde = _relax(method, latents.z, temperature, kz)
     z_lik = model.apply({"params": params}, z_tilde, method=model.z_likelihood)
@@ -68,23 +82,36 @@ def _forward(model, params, latents: Latents, x, temperature, rng, method: str):
     )
     y_tilde = _relax(method, latents.y, temperature, ky)
     y_lik = _GC.likelihood(y_tilde, mu, sigma)
-    x_hw = (x.shape[1], x.shape[2])
-    x_tilde = model.apply(
-        {"params": params}, y_tilde, x_hw, method=model.synthesize
-    )
+    if block_space:
+        block_hw = (x.shape[1] // 2, x.shape[2] // 2)
+        x_tilde = model.apply(
+            {"params": params}, y_tilde, block_hw, method=model.synthesize_blocks
+        )
+    else:
+        x_hw = (x.shape[1], x.shape[2])
+        x_tilde = model.apply(
+            {"params": params}, y_tilde, x_hw, method=model.synthesize
+        )
     return y_tilde, z_tilde, y_lik, z_lik, mu, sigma, x_tilde
 
 
 def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str):
-    """lambda * 255^2 * MSE + mean bpp (sga.py:144-163)."""
+    """lambda * 255^2 * MSE + mean bpp (sga.py:144-163).
+
+    Note: computing the distortion in 2x2-block space (bit-identical MSE,
+    see synthesize_blocks) benchmarked 7% slower end-to-end on v5e — the
+    36-tap dense subpixel conv loses to XLA's native transposed-conv
+    emitters — so the pixel-space path stays on."""
+    block_space = False
     _, _, y_lik, z_lik, _, _, x_tilde = _forward(
-        model, params, latents, x, temperature, rng, method
+        model, params, latents, x, temperature, rng, method, block_space
     )
+    x_cmp = _space_to_depth2(x) if block_space else x
     num_pixels = x.shape[1] * x.shape[2]
     y_bpp = -jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
     z_bpp = -jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
     train_bpp = jnp.mean(y_bpp + z_bpp)
-    mse = jnp.mean(jnp.square(x - x_tilde)) * (255.0 ** 2)
+    mse = jnp.mean(jnp.square(x_cmp - x_tilde)) * (255.0 ** 2)
     loss = jnp.where(lmbda > 0, lmbda * mse + train_bpp, train_bpp)
     return loss, dict(mse=mse, bpp=train_bpp)
 

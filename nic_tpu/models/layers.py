@@ -77,7 +77,7 @@ class SignalConv(nn.Module):
     upsample_impl: str = "transpose"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, block_space_output: bool = False):
         if self.strides_down > 1 and self.strides_up > 1:
             raise ValueError("Cannot both down- and up-sample.")
         in_ch = x.shape[-1]
@@ -87,6 +87,27 @@ class SignalConv(nn.Module):
         )
         x = x.astype(self.dtype)
         w = w.astype(self.dtype)
+        if block_space_output:
+            # Return the upsampled output in 2x2-block space: channels
+            # [(r*2+t)*features + c] hold pixel phase (r, t). Equivalent to
+            # the full output modulo the depth-to-space reordering — used by
+            # the optimization losses, whose MSE is reorder-invariant, to
+            # keep the MXU's output dim at 4*features instead of features.
+            if self.strides_up != 2:
+                raise ValueError("block_space_output requires strides_up=2")
+            y4 = lax.conv_general_dilated(
+                x,
+                _subpixel_kernel_up2(w),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                )
+                y4 = y4 + jnp.tile(b.astype(self.dtype), 4)
+            return y4
         if self.strides_up == 2 and self.upsample_impl == "subpixel":
             y4 = lax.conv_general_dilated(
                 x,

@@ -87,6 +87,17 @@ class MeanScaleHyperprior(nn.Module):
             x_tilde = x_tilde[:, :h, :w, :]
         return x_tilde
 
+    def synthesize_blocks(self, y_tilde, block_hw=None):
+        """Reconstruction in 2x2-block space (B, H/2, W/2, 12): identical
+        pixels as `synthesize` modulo depth-to-space ordering. The iterative
+        engines compare it against space_to_depth(x) so the final 192->3
+        conv keeps 12 MXU output lanes and skips the reordering transpose."""
+        xb = self.synthesis(y_tilde, block_space=True)
+        if block_hw is not None:
+            h, w = block_hw
+            xb = xb[:, :h, :w, :]
+        return xb
+
     def z_likelihood(self, z_tilde):
         """Lower-bounded factorized likelihood of a (possibly relaxed) z
         (sga.py:100-104)."""

@@ -45,15 +45,19 @@ class SynthesisTransform(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, y):
+    def __call__(self, y, block_space: bool = False):
         for i in range(3):
             y = SignalConv(self.num_filters, (5, 5), strides_up=2,
                            dtype=self.dtype, name=f"layer_{i}")(y)
             y = GDN(inverse=True, dtype=self.dtype, name=f"igdn_{i}")(y)
-        # Note: routing this 192->3 layer through the subpixel rewrite was
-        # benchmarked at -2% end-to-end despite its small channel counts;
-        # XLA's transposed-conv emitters already handle it well.
-        y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype, name="layer_3")(y)
+        # Note: routing this 192->3 layer through the full subpixel rewrite
+        # was benchmarked at -2% end-to-end; XLA's transposed-conv emitters
+        # handle it well in the *forward*. block_space=True instead returns
+        # the last layer's output in 2x2-block space (12 channels, no
+        # depth-to-space) for reorder-invariant losses.
+        y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype, name="layer_3")(
+            y, block_space_output=block_space
+        )
         return y.astype(jnp.float32)
 
 

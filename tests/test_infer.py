@@ -160,3 +160,25 @@ class TestBBEngines:
             res["est_y_bpp"] + res["est_z_bpp"] - res["est_bpp_back"],
             rtol=1e-5,
         )
+
+
+class TestBlockSpaceLoss:
+    def test_block_space_mse_identical(self, opt, image):
+        """The block-space distortion path must produce the same loss as the
+        pixel-space path (MSE is reorder-invariant)."""
+        import jax.numpy as jnp
+        from nic_tpu.infer.engine import Latents, _forward, _space_to_depth2
+
+        x = jnp.asarray(image)
+        y, z = opt.amortized_init(x)
+        latents = Latents(y=y, z=z)
+        key = jax.random.PRNGKey(0)
+        *_, xt_pix = _forward(opt.model, opt.params, latents, x, 1.0, key, "map", False)
+        *_, xt_blk = _forward(opt.model, opt.params, latents, x, 1.0, key, "map", True)
+        mse_pix = float(jnp.mean(jnp.square(x - xt_pix)))
+        mse_blk = float(jnp.mean(jnp.square(_space_to_depth2(x) - xt_blk)))
+        assert abs(mse_pix - mse_blk) < 1e-6
+        # And the block output is exactly the reordered pixel output.
+        np.testing.assert_allclose(
+            np.asarray(_space_to_depth2(xt_pix)), np.asarray(xt_blk), atol=1e-5
+        )
