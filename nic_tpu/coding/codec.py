@@ -129,10 +129,14 @@ class HyperpriorCodec:
 
     # --------------------------------------------------------------- public
 
-    def compress(self, x: np.ndarray) -> Tuple[bytes, Dict[str, Any]]:
+    def compress(self, x: np.ndarray, parallel: bool = False) -> Tuple[bytes, Dict[str, Any]]:
         """Compress a [N,H,W,3] float batch in [0,1] into one bitstream.
 
-        Returns (packed bytes, eval forward outputs for metric computation).
+        parallel=False encodes one whole-batch rANS stream (most compact,
+        matching the reference's PackedTensors behavior, mbt2018.py:219-221);
+        parallel=True encodes one stream per image across C++ threads, which
+        also lets the decoder parallelize. Returns (packed bytes, eval
+        forward outputs for metric computation).
         """
         out, z_symbols, y_symbols, y_indexes = _encode_pass(
             self.model, self.params, jnp.asarray(x)
@@ -146,13 +150,23 @@ class HyperpriorCodec:
             np.arange(z_symbols.shape[-1], dtype=np.int32), z_symbols.shape
         )
         z_rel = zt.symbols_from_values(z_symbols, z_rows)
-        side_string = self.coder.encode(z_rel, z_rows, zt.cdfs, zt.cdf_sizes)
         y_rel = yt.symbols_from_values(y_symbols, y_indexes)
-        string = self.coder.encode(y_rel, y_indexes, yt.cdfs, yt.cdf_sizes)
 
         packed = PackedBitstream()
-        packed.add_stream("string", string)
-        packed.add_stream("side_string", side_string)
+        if parallel:
+            side_streams = self.coder.encode_batch(z_rel, z_rows, zt.cdfs, zt.cdf_sizes)
+            y_streams = self.coder.encode_batch(y_rel, y_indexes, yt.cdfs, yt.cdf_sizes)
+            packed.add_stream("string", b"".join(y_streams))
+            packed.add_stream("side_string", b"".join(side_streams))
+            packed.add_ints("string_sizes", [len(s) for s in y_streams])
+            packed.add_ints("side_string_sizes", [len(s) for s in side_streams])
+        else:
+            packed.add_stream(
+                "side_string", self.coder.encode(z_rel, z_rows, zt.cdfs, zt.cdf_sizes)
+            )
+            packed.add_stream(
+                "string", self.coder.encode(y_rel, y_indexes, yt.cdfs, yt.cdf_sizes)
+            )
         packed.add_ints("x_shape", x.shape[1:3])
         packed.add_ints("y_shape", y_symbols.shape[1:3])
         packed.add_ints("z_shape", z_symbols.shape[1:3])
@@ -228,19 +242,42 @@ class HyperpriorCodec:
         zh, zw = packed.get_ints("z_shape")
         c = self.model.num_filters
 
+        def _split(blob_bytes, sizes):
+            outs, pos = [], 0
+            for s in sizes:
+                outs.append(blob_bytes[pos : pos + s])
+                pos += s
+            return outs
+
         zt, yt = self.z_table(), self.y_table()
         z_rows = np.broadcast_to(np.arange(c, dtype=np.int32), (n, zh, zw, c))
-        z_rel = self.coder.decode(
-            packed.get_stream("side_string"), z_rows, zt.cdfs, zt.cdf_sizes
-        )
+        try:
+            side_sizes = packed.get_ints("side_string_sizes")
+        except KeyError:
+            side_sizes = None
+        if side_sizes is not None:
+            z_rel = self.coder.decode_batch(
+                _split(packed.get_stream("side_string"), side_sizes),
+                z_rows, zt.cdfs, zt.cdf_sizes,
+            )
+        else:
+            z_rel = self.coder.decode(
+                packed.get_stream("side_string"), z_rows, zt.cdfs, zt.cdf_sizes
+            )
         z_symbols = zt.values_from_symbols(z_rel, z_rows)
         z_hat = _dequantize_z(self.model, self.params, jnp.asarray(z_symbols))
 
         mu, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_hat, (yh, yw))
         y_indexes = np.asarray(jax.device_get(y_indexes))
-        y_rel = self.coder.decode(
-            packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
-        )
+        if side_sizes is not None:
+            y_rel = self.coder.decode_batch(
+                _split(packed.get_stream("string"), packed.get_ints("string_sizes")),
+                y_indexes, yt.cdfs, yt.cdf_sizes,
+            )
+        else:
+            y_rel = self.coder.decode(
+                packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
+            )
         y_symbols = yt.values_from_symbols(y_rel, y_indexes)
         y_hat = jnp.asarray(y_symbols, jnp.float32) + mu
         x_hat = _synthesize_pass(self.model, self.params, y_hat, (xh, xw))

@@ -401,6 +401,17 @@ class LatentOptimizer:
             **{k: np.asarray(v) for k, v in metrics.items()},
         )
 
+    def eval_rounded(self, x, y, z) -> Dict[str, Any]:
+        """Evaluate plainly-rounded latents — the explicit form of the
+        reference's trick of feeding rounded values into the relaxed graph
+        tensors (sga.py:244-245; SURVEY.md flags this as the API the JAX
+        design should expose)."""
+        x = jnp.asarray(x, jnp.float32)
+        latents = Latents(y=jnp.round(jnp.asarray(y)), z=jnp.round(jnp.asarray(z)))
+        compute_msssim = min(x.shape[1], x.shape[2]) >= 176
+        metrics = _eval_transmitted(self.model, self.params, x, latents, compute_msssim)
+        return {k: np.asarray(v) for k, v in metrics.items()}
+
     def eval_amortized(self, x) -> Dict[str, Any]:
         """No-optimization baseline: quantize the amortized latents
         (the mbt2018 compress path, mbt2018.py:131-245, estimated rates)."""

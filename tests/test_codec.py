@@ -90,3 +90,14 @@ class TestOptimizedLatentCoding:
         # plus fixed container/flush overhead (~200 bytes) which dominates
         # at toy image sizes.
         assert actual_bits < est_bits * 1.4 + 8 * 250
+
+
+class TestParallelStreams:
+    def test_parallel_compress_decompress(self, codec, image):
+        blob_p, out = codec.compress(image, parallel=True)
+        x_hat = codec.decompress(blob_p)
+        expected = np.clip(np.asarray(out["x_tilde"]), 0.0, 1.0)
+        np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+        # Sequential mode still decodes too, and rates are comparable.
+        blob_s, _ = codec.compress(image, parallel=False)
+        assert abs(len(blob_p) - len(blob_s)) < 64 * image.shape[0]

@@ -182,3 +182,11 @@ class TestBlockSpaceLoss:
         np.testing.assert_allclose(
             np.asarray(_space_to_depth2(xt_pix)), np.asarray(xt_blk), atol=1e-5
         )
+
+
+class TestEvalRounded:
+    def test_matches_transmitted_eval_for_sga(self, opt, image):
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=20), seed=0)
+        ev = opt.eval_rounded(image, res["y"], res["z"])
+        np.testing.assert_allclose(ev["est_bpp"], res["est_bpp"], rtol=1e-5)
+        np.testing.assert_allclose(ev["psnr"], res["psnr"], rtol=1e-5)
