@@ -187,15 +187,21 @@ def run_compress(args):
         )
         fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
         results = {k: [] for k in fields}
-        opt_record = {"its": [], "rd_loss": []}
+        opt_record = {"its": [], "rd_loss": [], "rd_loss_after_rounding": []}
         last_res = None
+        # --verbose: probe the true discrete objective every 100 its
+        # (sga.py:218-233).
+        probe_every = 100 if args.verbose else 0
         for batch in _batches(X):
-            res = last_res = opt.optimize(batch, lmbda, method=spec, seed=args.seed)
+            res = last_res = opt.optimize(
+                batch, lmbda, method=spec, seed=args.seed, probe_every=probe_every
+            )
             for k in fields:
                 results[k].extend(np.asarray(res[k]).tolist())
             if res["losses"].size:
                 opt_record["its"] = np.arange(res["losses"].size)
                 opt_record["rd_loss"] = res["losses"]
+                opt_record["rd_loss_after_rounding"] = res["rounded_losses"]
         if args.save_opt_record and len(np.atleast_1d(opt_record["rd_loss"])):
             save_rd_results(
                 {k: np.asarray(v) for k, v in opt_record.items()},

@@ -177,14 +177,19 @@ def _init_carry(latents0: Latents, rng) -> _Carry:
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int, carry: _Carry):
+@partial(jax.jit, static_argnums=(0, 4, 5, 7))
+def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
+                    carry: _Carry, probe_every: int = 0):
     """Run `chunk_len` optimization iterations on device.
 
     The whole 2000-step loop is pure device work; it is sliced into chunks of
     a few hundred iterations only so each dispatched XLA program stays well
     under runtime watchdog limits — the carry (latents, Adam state, RNG,
     early-stop bookkeeping) never leaves HBM between chunks.
+
+    probe_every > 0 additionally evaluates the true rounded objective every
+    that many iterations (the reference's --verbose self-check,
+    sga.py:218-233); other iterations report NaN.
     """
     grad_fn = jax.value_and_grad(
         lambda lat, T, k: _rd_loss(model, params, lat, x, lmbda, T, k, method.name),
@@ -214,10 +219,21 @@ def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
     if not method.early_stop:
 
         def scan_body(c, _):
+            it = c.it
             c, loss = common_step(c)
-            return c, loss
+            if probe_every > 0:
+                probe = lax.cond(
+                    it % probe_every == 0,
+                    lambda: _probe_objective(
+                        model, params, c.latents, x, lmbda, method.name
+                    ),
+                    lambda: jnp.float32(jnp.nan),
+                )
+                return c, (loss, probe)
+            return c, (loss, jnp.float32(jnp.nan))
 
-        return lax.scan(scan_body, carry, None, length=chunk_len)
+        carry, (losses, probes) = lax.scan(scan_body, carry, None, length=chunk_len)
+        return carry, losses, probes
 
     # Early-stopping variant: lax.while_loop so we actually stop computing
     # when the probe worsens, matching the reference's `break`
@@ -256,33 +272,44 @@ def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
         return lax.cond(it_probe, run_probe, lambda cc: cc, post_step)
 
     carry = lax.while_loop(cond, body, carry)
-    return carry, jnp.zeros((0,), jnp.float32)
+    empty = jnp.zeros((0,), jnp.float32)
+    return carry, empty, empty
 
 
 def _run_optimization(
-    model, params, x, lmbda, rng, method: MethodSpec, y0, z0, chunk_size: int = 200
+    model, params, x, lmbda, rng, method: MethodSpec, y0, z0,
+    chunk_size: int = 200, probe_every: int = 0,
 ):
-    """Host-side chunk loop around _optimize_chunk. Returns (latents, losses)."""
+    """Host-side chunk loop around _optimize_chunk.
+
+    Returns (latents, losses, rounded_probes)."""
     carry = _init_carry(Latents(y=y0, z=z0), rng)
     losses = []
+    probes = []
     its_done = 0
+    empty = jnp.zeros((0,), jnp.float32)
     # Full-size chunks plus at most one remainder chunk (one extra compile).
     while its_done < method.iterations:
         this = min(chunk_size, method.iterations - its_done)
-        carry, chunk_losses = _optimize_chunk(
-            model, params, x, lmbda, method, this, carry
+        carry, chunk_losses, chunk_probes = _optimize_chunk(
+            model, params, x, lmbda, method, this, carry, probe_every
         )
         its_done += this
         if not method.early_stop:
             losses.append(chunk_losses)
+            probes.append(chunk_probes)
         elif bool(jax.device_get(carry.stopped)):
             break
     if method.early_stop:
         final = jax.tree.map(
             lambda s, c: jnp.where(carry.stopped, s, c), carry.saved, carry.latents
         )
-        return Latents(*final), jnp.zeros((0,), jnp.float32)
-    return carry.latents, jnp.concatenate(losses) if losses else jnp.zeros((0,), jnp.float32)
+        return Latents(*final), empty, empty
+    return (
+        carry.latents,
+        jnp.concatenate(losses) if losses else empty,
+        jnp.concatenate(probes) if probes else empty,
+    )
 
 
 @partial(jax.jit, static_argnums=0)
@@ -373,19 +400,23 @@ class LatentOptimizer:
         rng: Optional[jax.Array] = None,
         seed: int = 0,
         chunk_size: int = 200,
+        probe_every: int = 0,
     ) -> Dict[str, Any]:
         """Run the full iterative inference for one image batch.
 
         Returns transmitted latents, per-image eval metrics, and (for
-        fixed-length methods) the per-iteration loss history.
+        fixed-length methods) the per-iteration loss history. With
+        probe_every > 0 the result also contains `rounded_losses`: the true
+        discrete objective sampled every that many iterations (NaN
+        elsewhere) — the reference's --verbose probes (sga.py:218-233).
         """
         x = self._place(jnp.asarray(x, jnp.float32))
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         y0, z0 = _amortized_init(self.model, self.params, x)
-        latents, losses = _run_optimization(
+        latents, losses, probes = _run_optimization(
             self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0,
-            chunk_size=chunk_size,
+            chunk_size=chunk_size, probe_every=probe_every,
         )
         transmitted = _quantize_transmitted(
             self.model, self.params, latents, method.name
@@ -398,6 +429,7 @@ class LatentOptimizer:
             y=np.asarray(transmitted.y),
             z=np.asarray(transmitted.z),
             losses=np.asarray(losses),
+            rounded_losses=np.asarray(probes),
             **{k: np.asarray(v) for k, v in metrics.items()},
         )
 

@@ -190,3 +190,19 @@ class TestEvalRounded:
         ev = opt.eval_rounded(image, res["y"], res["z"])
         np.testing.assert_allclose(ev["est_bpp"], res["est_bpp"], rtol=1e-5)
         np.testing.assert_allclose(ev["psnr"], res["psnr"], rtol=1e-5)
+
+
+class TestVerboseProbes:
+    def test_rounded_probes(self, opt, image):
+        res = opt.optimize(
+            image, lmbda=0.01, method=SGA.replace(iterations=25), probe_every=10
+        )
+        probes = res["rounded_losses"]
+        assert probes.shape == (25,)
+        # Probes at its 0, 10, 20; NaN elsewhere.
+        assert np.isfinite(probes[[0, 10, 20]]).all()
+        assert np.isnan(probes[1]) and np.isnan(probes[11])
+        # The rounded objective is evaluated with the true discrete latents,
+        # so the final probe should be near the final eval objective.
+        rd_final = 0.01 * res["mse"].mean() + res["est_bpp"].mean()
+        assert abs(probes[20] - rd_final) / rd_final < 0.5
