@@ -21,6 +21,105 @@ _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
+def _load_lib():
+    lib = ctypes.CDLL(library_path())
+    lib.rans_stack_create.restype = ctypes.c_void_p
+    lib.rans_stack_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.rans_stack_destroy.argtypes = [ctypes.c_void_p]
+    lib.rans_stack_size.restype = ctypes.c_int64
+    lib.rans_stack_size.argtypes = [ctypes.c_void_p]
+    lib.rans_stack_serialize.restype = ctypes.c_int64
+    lib.rans_stack_serialize.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
+    lib.rans_stack_deserialize.restype = ctypes.c_void_p
+    lib.rans_stack_deserialize.argtypes = [_u8p, ctypes.c_int64]
+    lib.rans_stack_encode.restype = ctypes.c_int64
+    lib.rans_stack_encode.argtypes = [
+        ctypes.c_void_p, _i32p, _i32p, ctypes.c_int64,
+        _u32p, ctypes.c_int64, _i32p, ctypes.c_int32,
+    ]
+    lib.rans_stack_decode.restype = ctypes.c_int64
+    lib.rans_stack_decode.argtypes = [
+        ctypes.c_void_p, _i32p, ctypes.c_int64,
+        _u32p, ctypes.c_int64, _i32p, ctypes.c_int32, _i32p,
+    ]
+    return lib
+
+
+class RansStack:
+    """Stateful LIFO rANS for bits-back coding (no escape/bypass).
+
+    push() appends symbols; pop() removes them in reverse order. The
+    convenience methods push/pop take symbols in natural order: a
+    ``pop(indexes)`` exactly inverts the latest ``push(symbols, indexes)``
+    with the same indexes. Popping from a fresh/short stack draws zero
+    bytes — supply ``initial_bits`` when exact bit recovery matters.
+    """
+
+    def __init__(self, initial_bits: bytes = b"", precision: int = CODER_PRECISION,
+                 _handle=None):
+        self.precision = precision
+        self._lib = _load_lib()
+        if _handle is not None:
+            self._h = _handle
+        else:
+            self._h = self._lib.rans_stack_create(initial_bits, len(initial_bits))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.rans_stack_destroy(self._h)
+            self._h = None
+
+    def push(self, symbols: np.ndarray, indexes: np.ndarray, cdfs, cdf_sizes):
+        symbols = np.ascontiguousarray(symbols.reshape(-1), np.int32)
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+        r = self._lib.rans_stack_encode(
+            self._h, symbols, indexes, symbols.size,
+            cdfs, cdfs.shape[1], cdf_sizes, self.precision,
+        )
+        if r < 0:
+            raise ValueError(f"rans_stack_encode failed with code {r}")
+
+    def pop(self, indexes: np.ndarray, cdfs, cdf_sizes) -> np.ndarray:
+        shape = indexes.shape
+        rev = np.ascontiguousarray(indexes.reshape(-1)[::-1], np.int32)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        cdf_sizes = np.ascontiguousarray(cdf_sizes, np.int32)
+        out = np.empty(rev.size, np.int32)
+        r = self._lib.rans_stack_decode(
+            self._h, rev, rev.size, cdfs, cdfs.shape[1], cdf_sizes,
+            self.precision, out,
+        )
+        if r < 0:
+            raise ValueError(f"rans_stack_decode failed with code {r}")
+        return out[::-1].reshape(shape)
+
+    def serialize(self) -> bytes:
+        size = self._lib.rans_stack_size(self._h)
+        out = np.empty(size, np.uint8)
+        n = self._lib.rans_stack_serialize(self._h, out, size)
+        if n < 0:
+            raise ValueError("rans_stack_serialize failed")
+        return out[:n].tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, precision: int = CODER_PRECISION) -> "RansStack":
+        lib = _load_lib()
+        buf = np.ascontiguousarray(np.frombuffer(data, np.uint8))
+        h = lib.rans_stack_deserialize(buf, buf.size)
+        if not h:
+            raise ValueError("rans_stack_deserialize failed")
+        obj = cls.__new__(cls)
+        obj.precision = precision
+        obj._lib = lib
+        obj._h = h
+        return obj
+
+    def __len__(self) -> int:
+        return int(self._lib.rans_stack_size(self._h))
+
+
 class RansCoder:
     """Encode/decode int32 symbol arrays against per-row quantized CDFs."""
 

@@ -188,6 +188,131 @@ int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
   return n;
 }
 
+// ------------------------------------------------------------- rANS stack
+//
+// Stateful LIFO coder for bits-back (BB-ANS) style interleaved
+// encode/decode on ONE stream: `decode` pops symbols (consuming bits from
+// the top of the stack), `encode` pushes them. The reference never
+// implements this — its bits-back rates are ELBO estimates only
+// (SURVEY.md section 3.4).
+//
+// State layout: 32-bit rANS state + byte stack (top = end of vector).
+// Serialization: [4-byte little-endian state][stack bytes bottom..top].
+
+struct RansStack {
+  uint32_t state;
+  std::vector<uint8_t> bytes;
+};
+
+extern "C" {
+
+void* rans_stack_create(const uint8_t* init, int64_t n) {
+  auto* s = new RansStack();
+  s->state = kRansL;
+  if (init && n > 0) s->bytes.assign(init, init + n);
+  return s;
+}
+
+void rans_stack_destroy(void* handle) {
+  delete static_cast<RansStack*>(handle);
+}
+
+int64_t rans_stack_size(void* handle) {
+  auto* s = static_cast<RansStack*>(handle);
+  return 4 + static_cast<int64_t>(s->bytes.size());
+}
+
+int64_t rans_stack_serialize(void* handle, uint8_t* out, int64_t capacity) {
+  auto* s = static_cast<RansStack*>(handle);
+  const int64_t total = 4 + static_cast<int64_t>(s->bytes.size());
+  if (total > capacity) return -1;
+  for (int b = 0; b < 4; ++b)
+    out[b] = static_cast<uint8_t>((s->state >> (8 * b)) & 0xffu);
+  std::memcpy(out + 4, s->bytes.data(), s->bytes.size());
+  return total;
+}
+
+void* rans_stack_deserialize(const uint8_t* data, int64_t n) {
+  if (n < 4) return nullptr;
+  auto* s = new RansStack();
+  s->state = 0;
+  for (int b = 0; b < 4; ++b)
+    s->state |= static_cast<uint32_t>(data[b]) << (8 * b);
+  s->bytes.assign(data + 4, data + n);
+  return s;
+}
+
+// Pushes n symbols (FIFO argument order; symbols[0] is pushed first and
+// therefore popped LAST by the matching decode). Per-symbol CDF rows via
+// `indexes`. Escape/bypass is NOT supported on the stack API: symbols must
+// lie in [0, cdf_sizes[row]-1]. Returns 0 or a negative error.
+int64_t rans_stack_encode(void* handle, const int32_t* symbols,
+                          const int32_t* indexes, int64_t n,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision) {
+  if (precision < 8 || precision > 16) return -2;
+  auto* s = static_cast<RansStack*>(handle);
+  const uint32_t prec_total = 1u << precision;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t row = indexes[i];
+    const uint32_t* cdf = cdfs + row * stride;
+    const int32_t size = cdf_sizes[row];
+    const int64_t sym = symbols[i];
+    if (sym < 0 || sym >= size) return -6;
+    if (cdf[size] != prec_total) return -2;
+    const uint32_t start = cdf[sym];
+    const uint32_t freq = cdf[sym + 1] - start;
+    const uint32_t x_max = ((kRansL >> precision) << 8) * freq;
+    while (s->state >= x_max) {
+      s->bytes.push_back(static_cast<uint8_t>(s->state & 0xffu));
+      s->state >>= 8;
+    }
+    s->state = ((s->state / freq) << precision) + (s->state % freq) + start;
+  }
+  return 0;
+}
+
+// Pops n symbols; out[0] is the first popped. Exactly inverts a matching
+// rans_stack_encode with the arguments reversed. When the stack underflows
+// (fresh/initial-bits exhausted), zero bytes are synthesized — callers that
+// need exact bit recovery must provide enough initial bits.
+int64_t rans_stack_decode(void* handle, const int32_t* indexes, int64_t n,
+                          const uint32_t* cdfs, int64_t stride,
+                          const int32_t* cdf_sizes, int32_t precision,
+                          int32_t* out_symbols) {
+  if (precision < 8 || precision > 16) return -2;
+  auto* s = static_cast<RansStack*>(handle);
+  const uint32_t prec_total = 1u << precision;
+  const uint32_t mask = prec_total - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t row = indexes[i];
+    const uint32_t* cdf = cdfs + row * stride;
+    const int32_t size = cdf_sizes[row];
+    if (cdf[size] != prec_total) return -2;
+    const uint32_t slot = s->state & mask;
+    int32_t lo = 0, hi = size;
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) >> 1;
+      if (cdf[mid] <= slot) lo = mid;
+      else hi = mid;
+    }
+    out_symbols[i] = lo;
+    const uint32_t freq = cdf[lo + 1] - cdf[lo];
+    s->state = freq * (s->state >> precision) + slot - cdf[lo];
+    while (s->state < kRansL) {
+      uint8_t byte = 0;
+      if (!s->bytes.empty()) {
+        byte = s->bytes.back();
+        s->bytes.pop_back();
+      }
+      s->state = (s->state << 8) | byte;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------- batching
 //
 // One independent rANS stream per item (image), encoded/decoded across a

@@ -71,6 +71,46 @@ def pmf_to_quantized_cdf(
     return cdfs, sizes
 
 
+def pmf_to_quantized_cdf_fast(pmf: np.ndarray, precision: int = CODER_PRECISION):
+    """Vectorized CDF quantization for many equal-length rows (no escape).
+
+    Used for the per-element posterior tables of the bits-back coder, where
+    Python-loop quantization of tens of thousands of rows would dominate.
+    Every slot gets frequency >= 1; the total is balanced on the largest
+    bin (with a loop fallback for pathological rows).
+
+    Returns (cdfs uint32 (R, B+1), sizes int32 (R,) == B).
+    """
+    pmf = np.asarray(pmf, np.float64)
+    rows, bins = pmf.shape
+    total = 1 << precision
+    p = np.maximum(pmf, 0.0)
+    s = p.sum(axis=1, keepdims=True)
+    p = np.where(s > 0, p / np.maximum(s, 1e-300), 1.0 / bins)
+    freq = np.maximum(np.round(p * total).astype(np.int64), 1)
+    resid = total - freq.sum(axis=1)
+    top = np.argmax(freq, axis=1)
+    freq[np.arange(rows), top] += resid
+    bad = freq[np.arange(rows), top] < 1
+    if bad.any():
+        for r in np.nonzero(bad)[0]:
+            f = np.maximum(np.round(p[r] * total).astype(np.int64), 1)
+            d = total - f.sum()
+            while d != 0:
+                if d > 0:
+                    f[np.argmax(p[r] - f / total)] += 1
+                    d -= 1
+                else:
+                    i = np.argmax(f)
+                    take = min(int(f[i]) - 1, -d)
+                    f[i] -= take
+                    d += take
+            freq[r] = f
+    cdfs = np.zeros((rows, bins + 1), np.uint32)
+    cdfs[:, 1:] = np.cumsum(freq, axis=1).astype(np.uint32)
+    return cdfs, np.full(rows, bins, np.int32)
+
+
 @dataclass
 class CdfTable:
     """A ready-to-code table: quantized CDFs + per-row symbol offsets."""

@@ -290,3 +290,20 @@ class FactorizedEntropyModel(nn.Module):
         pmf = jnp.where(valid, pmf, 0.0)
         tail = jnp.maximum(1.0 - jnp.sum(pmf, axis=1), 0.0)
         return pmf, offsets, lengths, tail
+
+    def pmf_on_grid(self, lo: float, hi: float, delta: float):
+        """Per-channel bin probabilities over a uniform grid (for bits-back
+        coding of the *continuous* hyper-latent): bin k covers
+        [lo + k*delta, lo + (k+1)*delta); tail mass outside [lo, hi] folds
+        into the edge bins so the rows sum to 1 with no escape needed.
+
+        Returns (C, B) probabilities with B = round((hi - lo) / delta).
+        """
+        num_bins = int(round((hi - lo) / delta))
+        edges = lo + delta * jnp.arange(1, num_bins)  # interior edges
+        grid = jnp.tile(edges[:, None], (1, self.channels))
+        cdf = self.cdf(grid, stop_gradient=True)  # (B-1, C)
+        cdf = jnp.concatenate(
+            [jnp.zeros((1, self.channels)), cdf, jnp.ones((1, self.channels))], axis=0
+        )
+        return jnp.diff(cdf, axis=0).T  # (C, B)
