@@ -217,6 +217,22 @@ def run_compress(args):
             os.makedirs(args.results_dir, exist_ok=True)
             write_png(recon_path, np.asarray(last_res["x_tilde"])[0])
             print(f"Saved reconstruction to {recon_path}")
+        if args.output_file and last_res is not None:
+            # Beyond the reference: actually serialize the optimized latents
+            # (the reference only estimates these rates).
+            from nic_tpu.coding.codec import HyperpriorCodec
+
+            codec = HyperpriorCodec(model, params)
+            blob = codec.compress_optimized(
+                last_res["y"], last_res["z"], X.shape[1:3]
+            )
+            with open(args.output_file, "wb") as f:
+                f.write(blob)
+            num_pixels = int(np.prod(X.shape[:3]))
+            print(
+                f"Wrote {args.output_file}: {len(blob)} bytes "
+                f"({len(blob) * 8 / num_pixels:.4f} bpp actual)"
+            )
     else:  # bits-back scripts
         from nic_tpu.infer.bb import BB_NO_SGA, BB_PLAIN, BB_SGA, BBLatentOptimizer
 
@@ -239,6 +255,20 @@ def run_compress(args):
             res = opt.optimize(batch, lmbda, spec=spec, seed=args.seed)
             for k in fields:
                 results[k].extend(np.asarray(res[k]).tolist())
+        if args.output_file and args.script == "bb_plain":
+            # Beyond the reference: real BB-ANS bits-back bitstream (only
+            # decodable for the amortized posterior, i.e. bb_plain).
+            from nic_tpu.coding.bb_codec import BitsBackCodec
+
+            bbc = BitsBackCodec(model, params)
+            blob, info = bbc.compress(X, seed=args.seed)
+            with open(args.output_file, "wb") as f:
+                f.write(blob)
+            print(
+                f"Wrote {args.output_file}: {len(blob)} bytes "
+                f"(actual {info['actual_bpp']:.4f} bpp, net bits-back "
+                f"{info['net_bpp']:.4f} bpp)"
+            )
 
     results = {k: np.asarray(v) for k, v in results.items()}
     save_rd_results(

@@ -104,3 +104,22 @@ class TestCLI:
         assert results
         bundle = np.load(results[0])
         assert np.isfinite(bundle["est_bpp"]).all()
+
+    def test_sga_writes_optimized_bitstream(self, workspace):
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        out = str(workspace / "sga_out.ntc")
+        main(
+            _common(
+                workspace,
+                "sga",
+                "compress",
+                "--results_dir",
+                str(workspace / "results_sga2"),
+                "--sga_its",
+                "10",
+                runname,
+                str(workspace / "test.png"),
+                out,
+            )
+        )
+        assert os.path.getsize(out) > 0
