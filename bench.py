@@ -18,21 +18,46 @@ publishes no speed numbers; BASELINE.json's north star is >= 10x this).
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nic_tpu_jax_cache")
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-
-import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 1.0 / 60.0  # TF1 SGA anchor (see module docstring)
 
+_INNER_ENV = "NIC_TPU_BENCH_INNER"
+
+
+def _run_with_retry() -> int:
+    """Run the benchmark in a subprocess, retrying once: the TPU tunnel
+    occasionally kills the worker process mid-run, which poisons the JAX
+    client — a fresh process is the only recovery."""
+    env = dict(os.environ, **{_INNER_ENV: "1"})
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        sys.stderr.write(f"bench attempt {attempt + 1} failed; retrying...\n")
+    return 1
+
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nic_tpu_jax_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
     from nic_tpu.infer.engine import LatentOptimizer
     from nic_tpu.infer.methods import SGA
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
@@ -74,4 +99,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_INNER_ENV):
+        main()
+    else:
+        sys.exit(_run_with_retry())
