@@ -41,6 +41,20 @@ class SummaryWriter:
                     tf.summary.scalar(k, float(v), step=step)
                 self._tb.flush()
 
+    def write_images(self, step: int, images: Dict[str, "np.ndarray"], max_outputs: int = 2):
+        """Original/reconstruction image summaries (tf_boilerplate.py:75-76).
+        No-op without a TensorBoard logdir."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for name, img in images.items():
+                img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+                tf.summary.image(name, img[:max_outputs], step=step)
+            self._tb.flush()
+
 
 class ThroughputMeter:
     """Images/sec and step-time tracking over a sliding window."""

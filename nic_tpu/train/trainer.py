@@ -229,6 +229,7 @@ class Trainer:
         meter = ThroughputMeter()
         last_ckpt = time.time()
         last_log = 0.0
+        last_image_summary = time.time()
         bsh = batch_sharding(self.mesh)
 
         step = int(state.step)
@@ -256,6 +257,20 @@ class Trainer:
                 writer.write(
                     step, {**{k: float(v) for k, v in metrics.items()}, **rates}
                 )
+                if cfg.logdir and now - last_image_summary >= cfg.save_summary_secs:
+                    # original/reconstruction image summaries
+                    # (tf_boilerplate.py:71-76): one eval forward per cadence.
+                    out = self.model.apply(
+                        {"params": state.params}, batch, training=False
+                    )
+                    writer.write_images(
+                        step,
+                        {
+                            "original": jax.device_get(batch),
+                            "reconstruction": jax.device_get(out["x_tilde"]),
+                        },
+                    )
+                    last_image_summary = now
                 if now - last_ckpt >= cfg.save_checkpoint_secs:
                     ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
                     last_ckpt = now

@@ -151,3 +151,24 @@ class TestGaussianConditional:
         s = gc.symbols(jnp.array(y), jnp.array(mu))
         back = gc.dequantize_symbols(s, jnp.array(mu))
         np.testing.assert_allclose(back, gc.quantize(jnp.array(y), jnp.array(mu)), atol=1e-6)
+
+
+class TestQuantizerConsistency:
+    def test_median_quantize_idempotent(self, prior):
+        """map.py:201-203's runtime assert: quantizing an already-quantized
+        value is a no-op."""
+        model, variables = prior
+        z = jnp.linspace(-6, 6, 24).reshape(6, 4)
+        q1 = model.apply(variables, z, "dequantize", method=model.quantize)
+        q2 = model.apply(variables, q1, "dequantize", method=model.quantize)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+
+    def test_conditional_quantize_idempotent(self):
+        from nic_tpu.models.conditional import GaussianConditional
+
+        gc = GaussianConditional()
+        y = jnp.linspace(-4, 4, 10)
+        mu = jnp.linspace(-0.4, 0.4, 10)
+        q1 = gc.quantize(y, mu)
+        q2 = gc.quantize(q1, mu)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)

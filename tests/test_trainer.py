@@ -106,3 +106,16 @@ class TestCheckpoint:
         restored = restore_checkpoint(str(tmp_path), jax.tree.map(jnp.zeros_like, state))
         np.testing.assert_allclose(restored["a"], state["a"])
         np.testing.assert_allclose(restored["b"]["c"], state["b"]["c"])
+
+
+class TestTensorBoardSummaries:
+    def test_tb_logdir_writes_events_and_images(self, tmp_path):
+        pytest.importorskip("tensorflow")
+        cfg = make_cfg(tmp_path, last_step=2, logdir=str(tmp_path / "tb"),
+                       save_summary_secs=0)
+        trainer = Trainer(cfg)
+        trainer.fit(iter(batches(cfg)), verbose=False)
+        import glob as g
+
+        events = g.glob(str(tmp_path / "tb" / "*" / "events.*"))
+        assert events, "TensorBoard event files should be written"
