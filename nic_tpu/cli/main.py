@@ -45,6 +45,7 @@ def build_prior_parser() -> argparse.ArgumentParser:
     p.add_argument("--its", type=int, default=500)
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--logging_freq", type=int, default=10)
+    p.add_argument("--plot", action="store_true", help="Save fitted-density plots.")
     return p
 
 

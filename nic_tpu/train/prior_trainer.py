@@ -112,6 +112,38 @@ def train_prior_cli(args) -> str:
         for path, leaf in jax.tree_util.tree_leaves_with_path(params)
     }
     np.savez(os.path.join(save_dir, "prior_model.npz"), **flat)
+    if getattr(args, "plot", False):
+        plot_fitted_density(cfg, params, data, save_dir)
     with open(os.path.join(save_dir, "record.json"), "w") as f:
         json.dump(record, f, indent=4, sort_keys=True)
     return save_dir
+
+
+def plot_fitted_density(cfg: PriorTrainConfig, params, data: np.ndarray, save_dir: str):
+    """Fitted per-channel pdf vs data histogram (learned_prior.py:464-490)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    model = FactorizedEntropyModel(
+        channels=cfg.num_channels, dims=cfg.dims, init_scale=cfg.init_scale
+    )
+    xs = np.linspace(-5, 5, 200).astype(np.float32)
+    grid = jnp.tile(jnp.asarray(xs)[:, None], (1, cfg.num_channels))
+    q_xs = np.asarray(model.apply({"params": params}, grid, method=model.pdf))
+    k = min(cfg.num_channels, 8)
+    cols = min(k, 4)
+    rows_n = -(-k // cols)
+    plt.figure(figsize=(12, 8))
+    for c in range(k):
+        plt.subplot(rows_n, cols, c + 1)
+        plt.plot(xs, q_xs[:, c], label="$q(x)$")
+        plt.hist(data[:, c].ravel(), bins=31, density=True, alpha=0.4, label="data")
+        plt.title(f"channel {c}")
+    plt.legend()
+    plt.tight_layout()
+    path = os.path.join(save_dir, "fitted_density.png")
+    plt.savefig(path)
+    plt.close()
+    return path

@@ -40,6 +40,7 @@ class TestPriorFit:
                 "20",
                 "--checkpoint_dir",
                 str(tmp_path / "ckpt"),
+                "--plot",
             ]
         )
         runs = os.listdir(tmp_path / "ckpt")
@@ -47,5 +48,6 @@ class TestPriorFit:
         run_dir = tmp_path / "ckpt" / runs[0]
         assert (run_dir / "prior_model.npz").exists()
         assert (run_dir / "record.json").exists()
+        assert (run_dir / "fitted_density.png").exists()
         record = json.loads((run_dir / "record.json").read_text())
         assert len(record) >= 1
