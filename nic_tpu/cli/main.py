@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     train_cmd.add_argument("--logdir", default="")
     train_cmd.add_argument("--save_checkpoint_secs", type=int, default=300)
     train_cmd.add_argument("--save_summary_secs", type=int, default=60)
+    train_cmd.add_argument(
+        "--steps_per_call", type=int, default=8,
+        help="Train steps fused into one device program (lax.scan); "
+             "amortizes dispatch overhead (~7x throughput on remote TPUs).",
+    )
 
     compress_cmd = sub.add_parser("compress")
     compress_cmd.add_argument("--results_dir", default="./results")
@@ -136,6 +141,7 @@ def run_train(args):
         save_checkpoint_secs=args.save_checkpoint_secs,
         save_summary_secs=args.save_summary_secs,
         logdir=args.logdir,
+        steps_per_call=args.steps_per_call,
     )
     pipeline = PatchPipeline(
         args.train_glob,
