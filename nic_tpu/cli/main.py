@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     train_cmd.add_argument("--batchsize", type=int, default=8)
     train_cmd.add_argument("--patchsize", type=int, default=256)
     train_cmd.add_argument("--lambda", type=float, default=0.01, dest="lmbda")
+    train_cmd.add_argument(
+        "--distortion",
+        choices=("mse", "msssim"),
+        default="mse",
+        help="Training distortion objective (msssim trains the perceptual "
+        "model variant; needs --patchsize >= 176).",
+    )
     train_cmd.add_argument("--last_step", type=int, default=1_000_000)
     train_cmd.add_argument("--preprocess_threads", type=int, default=16)
     train_cmd.add_argument("--logdir", default="")
@@ -134,6 +141,7 @@ def run_train(args):
         model=args.script,
         num_filters=args.num_filters,
         lmbda=args.lmbda,
+        distortion=args.distortion,
         batchsize=args.batchsize,
         patchsize=args.patchsize,
         last_step=args.last_step,

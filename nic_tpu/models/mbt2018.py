@@ -46,12 +46,13 @@ class MeanScaleHyperprior(nn.Module):
 
     num_filters: int = 192
     compute_dtype: Any = jnp.float32
+    use_pallas_gdn: bool = False
 
     def setup(self):
         n = self.num_filters
         dt = self.compute_dtype
-        self.analysis = AnalysisTransform(n, dtype=dt)
-        self.synthesis = SynthesisTransform(n, dtype=dt)
+        self.analysis = AnalysisTransform(n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn)
+        self.synthesis = SynthesisTransform(n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn)
         self.hyper_analysis = HyperAnalysisTransform(n, dtype=dt)
         self.hyper_synthesis = MBT2018HyperSynthesisTransform(
             n, num_output_filters=2 * n, dtype=dt
@@ -150,27 +151,49 @@ class MeanScaleHyperprior(nn.Module):
         )
 
 
-def rd_loss(outputs: Dict[str, Any], x, lmbda: float):
+def distortion_loss(x, x_tilde, distortion: str = "mse"):
+    """Distortion term + metrics shared by the training losses.
+
+    "mse":    255^2 * MSE (the reference's only objective, mbt2018.py:99-103).
+    "msssim": 1 - MS-SSIM, the standard perceptual objective for the
+              MS-SSIM-optimized model variants of Minnen et al. 2018
+              (an extension — the reference trains MSE-only).
+    Returns (distortion, metrics-dict).
+    """
+    float_mse = jnp.mean(jnp.square(x - x_tilde))
+    psnr = -10.0 * jnp.log(float_mse) / jnp.log(10.0)
+    train_mse = float_mse * (255.0 ** 2)
+    metrics = dict(mse=train_mse, psnr=psnr)
+    if distortion == "mse":
+        return train_mse, metrics
+    if distortion == "msssim":
+        from nic_tpu.evaluation.metrics import msssim
+
+        ms = jnp.mean(msssim(x_tilde, x, max_val=1.0))
+        metrics["msssim"] = ms
+        return 1.0 - ms, metrics
+    raise ValueError(f"Unknown distortion {distortion!r}")
+
+
+def rd_loss(outputs: Dict[str, Any], x, lmbda: float, distortion: str = "mse"):
     """Rate-distortion training loss (mbt2018.py:96-113).
 
-    bpp normalizes by the full batch pixel count; MSE is scaled by 255^2.
+    bpp normalizes by the full batch pixel count; the distortion term is
+    255^2-scaled MSE or (1 - MS-SSIM), see `distortion_loss`.
     Returns (loss, metrics-dict).
     """
     num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
     y_bpp = -jnp.sum(jnp.log(outputs["y_likelihoods"])) / (LN2 * num_pixels)
     z_bpp = -jnp.sum(jnp.log(outputs["z_likelihoods"])) / (LN2 * num_pixels)
     train_bpp = y_bpp + z_bpp
-    float_mse = jnp.mean(jnp.square(x - outputs["x_tilde"]))
-    psnr = -10.0 * jnp.log(float_mse) / jnp.log(10.0)
-    train_mse = float_mse * (255.0 ** 2)
-    loss = lmbda * train_mse + train_bpp
+    dist, dist_metrics = distortion_loss(x, outputs["x_tilde"], distortion)
+    loss = lmbda * dist + train_bpp
     return loss, dict(
         loss=loss,
-        mse=train_mse,
-        psnr=psnr,
         bpp=train_bpp,
         y_bpp=y_bpp,
         z_bpp=z_bpp,
+        **dist_metrics,
     )
 
 

@@ -122,23 +122,22 @@ class BitsBackHyperprior(nn.Module):
         )
 
 
-def bb_rd_loss(outputs: Dict[str, Any], x, lmbda: float):
+def bb_rd_loss(outputs: Dict[str, Any], x, lmbda: float, distortion: str = "mse"):
     """Bits-back training loss (mbt2018_bb.py:105-128)."""
+    from nic_tpu.models.mbt2018 import distortion_loss
+
     num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
     bpp_back = -jnp.sum(outputs["log_q_z_tilde"]) / (LN2 * num_pixels)
     y_bpp = -jnp.sum(jnp.log(outputs["y_likelihoods"])) / (LN2 * num_pixels)
     z_bpp = -jnp.sum(jnp.log(outputs["z_likelihoods"])) / (LN2 * num_pixels)
     train_bpp = y_bpp + z_bpp - bpp_back
-    float_mse = jnp.mean(jnp.square(x - outputs["x_tilde"]))
-    psnr = -10.0 * jnp.log(float_mse) / jnp.log(10.0)
-    train_mse = float_mse * (255.0 ** 2)
-    loss = lmbda * train_mse + train_bpp
+    dist, dist_metrics = distortion_loss(x, outputs["x_tilde"], distortion)
+    loss = lmbda * dist + train_bpp
     return loss, dict(
         loss=loss,
-        mse=train_mse,
-        psnr=psnr,
         bpp=train_bpp,
         y_bpp=y_bpp,
         z_bpp=z_bpp,
         bpp_back=bpp_back,
+        **dist_metrics,
     )

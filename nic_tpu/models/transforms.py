@@ -26,13 +26,15 @@ class AnalysisTransform(nn.Module):
 
     num_filters: int
     dtype: Any = jnp.float32
+    use_pallas_gdn: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(3):
             x = SignalConv(self.num_filters, (5, 5), strides_down=2,
                            dtype=self.dtype, name=f"layer_{i}")(x)
-            x = GDN(dtype=self.dtype, name=f"gdn_{i}")(x)
+            x = GDN(dtype=self.dtype, use_pallas=self.use_pallas_gdn,
+                    name=f"gdn_{i}")(x)
         x = SignalConv(self.num_filters, (5, 5), strides_down=2,
                        dtype=self.dtype, name="layer_3")(x)
         return x.astype(jnp.float32)
@@ -43,13 +45,15 @@ class SynthesisTransform(nn.Module):
 
     num_filters: int
     dtype: Any = jnp.float32
+    use_pallas_gdn: bool = False
 
     @nn.compact
     def __call__(self, y, block_space: bool = False):
         for i in range(3):
             y = SignalConv(self.num_filters, (5, 5), strides_up=2,
                            dtype=self.dtype, name=f"layer_{i}")(y)
-            y = GDN(inverse=True, dtype=self.dtype, name=f"igdn_{i}")(y)
+            y = GDN(inverse=True, dtype=self.dtype,
+                    use_pallas=self.use_pallas_gdn, name=f"igdn_{i}")(y)
         # Note: routing this 192->3 layer through the full subpixel rewrite
         # was benchmarked at -2% end-to-end; XLA's transposed-conv emitters
         # handle it well in the *forward*. block_space=True instead returns

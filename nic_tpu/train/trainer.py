@@ -42,6 +42,9 @@ class TrainConfig:
     model: str = "mbt2018"  # or "mbt2018_bb"
     num_filters: int = 192
     lmbda: float = 0.01
+    # Distortion objective: "mse" (the reference's only objective) or
+    # "msssim" (1 - MS-SSIM; requires patchsize >= 176 for the 5 scales).
+    distortion: str = "mse"
     batchsize: int = 8
     patchsize: int = 256
     last_step: int = 1_000_000
@@ -65,11 +68,12 @@ class TrainConfig:
             return self.runname
         from nic_tpu.utils import get_runname
 
-        return get_runname(
-            dict(num_filters=self.num_filters, num_hfilters=-1, lmbda=self.lmbda),
-            record_keys=("num_filters", "num_hfilters", "lmbda"),
-            prefix=self.model,
-        )
+        keys = ["num_filters", "num_hfilters", "lmbda"]
+        d = dict(num_filters=self.num_filters, num_hfilters=-1, lmbda=self.lmbda)
+        if self.distortion != "mse":
+            keys.append("distortion")
+            d["distortion"] = self.distortion
+        return get_runname(d, record_keys=tuple(keys), prefix=self.model)
 
 
 @flax.struct.dataclass
@@ -101,6 +105,11 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
+        if cfg.distortion == "msssim" and cfg.patchsize < 176:
+            raise ValueError(
+                "MS-SSIM training needs patchsize >= 176 (5 scales x 11-tap "
+                f"window); got {cfg.patchsize}"
+            )
         # The data axis cannot exceed the batch size and must divide it.
         n = cfg.num_devices or jax.device_count()
         n = min(n, cfg.batchsize)
@@ -151,7 +160,7 @@ class Trainer:
 
         def loss_fn(params, batch, rng):
             out = model.apply({"params": params}, batch, training=True, rng=rng)
-            loss, metrics = loss_fn_impl(out, batch, cfg.lmbda)
+            loss, metrics = loss_fn_impl(out, batch, cfg.lmbda, cfg.distortion)
             if dual:
                 aux = model.apply({"params": params}, method=model.aux_loss)
                 metrics = dict(metrics, aux_loss=aux)
@@ -173,26 +182,21 @@ class Trainer:
             )
             return new_state, metrics
 
-        k = cfg.steps_per_call
-
         def multi_step(state: TrainState, batches) -> tuple:
-            if k == 1:
+            if batches.ndim == 4:  # single step, [B, H, W, 3]
                 return step(state, batches)
             # batches: [k, B, H, W, 3]; report the last step's metrics.
+            # (jit retraces per leading length, so a smaller remainder stack
+            # at the end of training is just one extra compile.)
             state, ms = jax.lax.scan(step, state, batches)
             return state, jax.tree.map(lambda a: a[-1], ms)
 
         repl = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh)
-        if k == 1:
-            in_b = bsh
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            in_b = NamedSharding(self.mesh, P(None, "data"))
+        # The batch inherits the sharding it was device_put with (a 4-D
+        # batch shards P('data'), a stacked one P(None, 'data')).
         return jax.jit(
             multi_step,
-            in_shardings=(repl, in_b),
+            in_shardings=(repl, None),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
@@ -261,15 +265,18 @@ class Trainer:
 
         step = int(state.step)
         while step < cfg.last_step:
+            # Never overshoot last_step (StopAtStepHook semantics,
+            # tf_boilerplate.py:66): the final call shrinks to the remainder.
+            this = min(k, cfg.last_step - step)
             if k == 1:
                 batch = jax.device_put(next(data), bsh)
             else:
                 batch = jax.device_put(
-                    _np.stack([next(data) for _ in range(k)]), bsh
+                    _np.stack([next(data) for _ in range(this)]), bsh
                 )
             state, metrics = step_fn(state, batch)
-            step += k
-            meter.update(cfg.batchsize * k)
+            step += this
+            meter.update(cfg.batchsize * this)
             if step % cfg.log_every == 0 or step == cfg.last_step:
                 metrics = jax.device_get(metrics)
                 loss = float(metrics["loss"])
@@ -292,13 +299,14 @@ class Trainer:
                 if cfg.logdir and now - last_image_summary >= cfg.save_summary_secs:
                     # original/reconstruction image summaries
                     # (tf_boilerplate.py:71-76): one eval forward per cadence.
+                    img_batch = batch[-1] if k > 1 else batch
                     out = self.model.apply(
-                        {"params": state.params}, batch, training=False
+                        {"params": state.params}, img_batch, training=False
                     )
                     writer.write_images(
                         step,
                         {
-                            "original": jax.device_get(batch),
+                            "original": jax.device_get(img_batch),
                             "reconstruction": jax.device_get(out["x_tilde"]),
                         },
                     )

@@ -86,6 +86,33 @@ class TestTrainer:
         state = trainer.fit(iter(batches(cfg)), verbose=False)
         assert int(state.step) == 2
 
+    def test_msssim_objective(self, tmp_path):
+        """MS-SSIM distortion: trains, reports the metric, names the run."""
+        # 192 = smallest multiple of 64 (training shape-alignment, same
+        # constraint as the reference) that satisfies MS-SSIM's >= 176.
+        cfg = make_cfg(tmp_path, distortion="msssim", patchsize=192,
+                       batchsize=8, last_step=1)
+        trainer = Trainer(cfg)
+        assert "distortion=msssim" in cfg.resolved_runname()
+        state = trainer.init_state()
+        from nic_tpu.parallel.mesh import batch_sharding
+
+        batch = next(iter(batches(cfg)))
+        state, metrics = trainer.step_fn(
+            state, jax.device_put(batch, batch_sharding(trainer.mesh))
+        )
+        m = jax.device_get(metrics)
+        assert 0.0 <= float(m["msssim"]) <= 1.0
+        assert np.isfinite(float(m["loss"]))
+        # The reported loss metric is the RD objective (pre-aux):
+        # lmbda * (1 - msssim) + bpp.
+        expected = cfg.lmbda * (1.0 - float(m["msssim"])) + float(m["bpp"])
+        np.testing.assert_allclose(float(m["loss"]), expected, rtol=1e-4)
+
+    def test_msssim_needs_large_patches(self, tmp_path):
+        with pytest.raises(ValueError, match="patchsize"):
+            Trainer(make_cfg(tmp_path, distortion="msssim", patchsize=64))
+
     def test_nan_guard(self, tmp_path):
         cfg = make_cfg(tmp_path, last_step=1, log_every=1)
         trainer = Trainer(cfg)
