@@ -266,23 +266,40 @@ def run_compress(args):
             "est_bpp", "est_y_bpp", "est_z_bpp", "est_bpp_back",
         ]
         results = {k: [] for k in fields}
+        opt_latents = {"y": [], "z_mean": [], "z_logvar": []}
         for batch in _batches(X):
             res = opt.optimize(batch, lmbda, spec=spec, seed=args.seed)
             for k in fields:
                 results[k].extend(np.asarray(res[k]).tolist())
-        if args.output_file and args.script == "bb_plain":
-            # Beyond the reference: real BB-ANS bits-back bitstream (only
-            # decodable for the amortized posterior, i.e. bb_plain).
+            for k in opt_latents:
+                opt_latents[k].append(np.asarray(res[k]))
+        if args.output_file:
+            # Beyond the reference: real BB-ANS bits-back bitstreams. The
+            # reference never serializes its bb models at all. bb_plain codes
+            # against the amortized posterior; bb_sga/bb_no_sga make the
+            # per-image *optimized* posterior decodable by entropy-coding
+            # quantized posterior-parameter deltas (charged to the rate).
             from nic_tpu.coding.bb_codec import BitsBackCodec
 
             bbc = BitsBackCodec(model, params)
-            blob, info = bbc.compress(X, seed=args.seed)
+            if args.script == "bb_plain":
+                blob, info = bbc.compress(X, seed=args.seed)
+                extra = ""
+            else:
+                blob, info = bbc.compress_optimized(
+                    X,
+                    np.concatenate(opt_latents["y"]),
+                    np.concatenate(opt_latents["z_mean"]),
+                    np.concatenate(opt_latents["z_logvar"]),
+                    seed=args.seed,
+                )
+                extra = f", posterior deltas {info['delta_bpp']:.4f} bpp"
             with open(args.output_file, "wb") as f:
                 f.write(blob)
             print(
                 f"Wrote {args.output_file}: {len(blob)} bytes "
                 f"(actual {info['actual_bpp']:.4f} bpp, net bits-back "
-                f"{info['net_bpp']:.4f} bpp)"
+                f"{info['net_bpp']:.4f} bpp{extra})"
             )
 
     results = {k: np.asarray(v) for k, v in results.items()}
@@ -338,13 +355,24 @@ def _compress_amortized(args, X):
 
 
 def run_decompress(args):
-    from nic_tpu.coding.codec import HyperpriorCodec
-
-    model, params = _load_params(args, "mbt2018")
-    codec = HyperpriorCodec(model, params)
     with open(args.input_file, "rb") as f:
         blob = f.read()
-    x_hat = codec.decompress(blob)
+    if args.script == "mbt2018":
+        from nic_tpu.coding.codec import HyperpriorCodec
+
+        model, params = _load_params(args, "mbt2018")
+        x_hat = HyperpriorCodec(model, params).decompress(blob)
+    else:  # bits-back streams
+        from nic_tpu.coding.bb_codec import BitsBackCodec
+
+        model, params = _load_params(args, "mbt2018_bb")
+        bbc = BitsBackCodec(model, params)
+        if args.script == "bb_plain":
+            x_hat, init_ok = bbc.decompress(blob)
+        else:
+            x_hat, init_ok = bbc.decompress_optimized(blob)
+        if not init_ok:
+            sys.exit("bits-back integrity check failed: initial bits not recovered")
     out = args.output_file or (args.input_file + ".png")
     write_png(out, x_hat[0])
     print(f"Wrote {out}")
@@ -371,8 +399,8 @@ def main(argv=None):
     elif args.command == "compress":
         run_compress(args)
     elif args.command == "decompress":
-        if args.script != "mbt2018":
-            sys.exit("Only mbt2018 supports decompression.")
+        if args.script not in ("mbt2018", "bb_plain", "bb_sga", "bb_no_sga"):
+            sys.exit(f"{args.script} does not support decompression.")
         run_decompress(args)
 
 
