@@ -26,6 +26,7 @@ class PatchPipeline:
         num_threads: int = 8,
         prefetch: int = 32,
         seed: int = 0,
+        cache_bytes: int = 2 << 30,
     ):
         self.files: List[str] = sorted(globlib.glob(train_glob))
         if not self.files:
@@ -33,6 +34,12 @@ class PatchPipeline:
         self.batchsize = batchsize
         self.patchsize = patchsize
         self.seed = seed
+        # Decoded-image cache (uint8): for corpora that fit in `cache_bytes`
+        # each file is decoded once, after which the pipeline is pure
+        # memcpy + crop — PNG decode otherwise dominates small-image corpora.
+        self._cache: dict = {}
+        self._cache_bytes_left = int(cache_bytes)
+        self._cache_lock = threading.Lock()
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = [
@@ -45,18 +52,28 @@ class PatchPipeline:
     # ------------------------------------------------------------------ impl
 
     def _load(self, path: str) -> Optional[np.ndarray]:
+        cached = self._cache.get(path)
+        if cached is not None:
+            return cached
         try:
             if path.endswith(".npy"):
-                img = np.load(path).astype(np.float32)
-                if img.max() > 1.5:
-                    img = img / 255.0
+                arr = np.load(path)
+                if arr.dtype != np.uint8:
+                    arr = np.clip(
+                        arr * (255.0 if arr.max() <= 1.5 else 1.0), 0, 255
+                    ).astype(np.uint8)
+                img = arr
             else:
                 from PIL import Image
 
-                img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-            return img
+                img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
         except Exception:
             return None
+        with self._cache_lock:
+            if self._cache_bytes_left >= img.nbytes and path not in self._cache:
+                self._cache[path] = img
+                self._cache_bytes_left -= img.nbytes
+        return img
 
     def _random_crop(self, img: np.ndarray, rng: np.random.Generator) -> Optional[np.ndarray]:
         p = self.patchsize
@@ -79,7 +96,8 @@ class PatchPipeline:
                 crop = self._random_crop(img, rng)
                 if crop is not None:
                     batch.append(crop)
-            out = np.stack(batch).astype(np.float32)
+            # uint8 until here; one vectorized convert per batch.
+            out = np.stack(batch).astype(np.float32) / 255.0
             while not self._stop.is_set():
                 try:
                     self._queue.put(out, timeout=0.5)
