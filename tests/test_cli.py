@@ -123,3 +123,41 @@ class TestCLI:
             )
         )
         assert os.path.getsize(out) > 0
+
+    def test_bb_compress_decompress_roundtrip(self, workspace):
+        """bb_sga compress writes a real optimized-posterior bitstream;
+        decompress recovers the image and the borrowed initial bits."""
+        runname = "mbt2018_bb-num_filters=4-lmbda=0.01"
+        out_bin = str(workspace / "bb_out.ntc")
+        main(
+            _common(
+                workspace,
+                "bb_sga",
+                "compress",
+                "--results_dir",
+                str(workspace / "results_bb"),
+                "--sga_its",
+                "8",
+                "--lambda",
+                "0.01",
+                runname,
+                str(workspace / "test.png"),
+                out_bin,
+            )
+        )
+        assert os.path.getsize(out_bin) > 0
+        out_png = str(workspace / "bb_recon.png")
+        main(_common(workspace, "bb_sga", "decompress", runname, out_bin, out_png))
+        recon = np.asarray(Image.open(out_png))
+        assert recon.shape == (64, 64, 3)
+
+    def test_bb_decompress_rejects_corrupt_stream(self, workspace):
+        runname = "mbt2018_bb-num_filters=4-lmbda=0.01"
+        src = str(workspace / "bb_out.ntc")
+        bad = str(workspace / "bb_bad.ntc")
+        blob = open(src, "rb").read()
+        with open(bad, "wb") as f:
+            f.write(blob[:-16] + bytes(16))
+        with pytest.raises(SystemExit, match="integrity"):
+            main(_common(workspace, "bb_sga", "decompress", runname, bad,
+                         str(workspace / "bb_bad.png")))
