@@ -168,18 +168,20 @@ class _Carry(NamedTuple):
 def _init_carry(latents0: Latents, rng) -> _Carry:
     return _Carry(
         latents=latents0,
+        # Distinct buffers from `latents`: the donating chunk runner may not
+        # receive the same buffer in two arguments.
         adam=adam_init(latents0),
         rng=rng,
         it=jnp.zeros((), jnp.int32),
-        saved=latents0,
+        saved=jax.tree.map(jnp.copy, latents0),
         prev_obj=jnp.inf,
         stopped=jnp.zeros((), bool),
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 7))
-def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
-                    carry: _Carry, probe_every: int = 0):
+def _optimize_chunk_impl(model, params, x, lmbda, method: MethodSpec,
+                         chunk_len: int, carry: _Carry, probe_every: int = 0,
+                         unroll: int = 1):
     """Run `chunk_len` optimization iterations on device.
 
     The whole 2000-step loop is pure device work; it is sliced into chunks of
@@ -232,7 +234,9 @@ def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
                 return c, (loss, probe)
             return c, (loss, jnp.float32(jnp.nan))
 
-        carry, (losses, probes) = lax.scan(scan_body, carry, None, length=chunk_len)
+        carry, (losses, probes) = lax.scan(
+            scan_body, carry, None, length=chunk_len, unroll=unroll
+        )
         return carry, losses, probes
 
     # Early-stopping variant: lax.while_loop so we actually stop computing
@@ -276,9 +280,21 @@ def _optimize_chunk(model, params, x, lmbda, method: MethodSpec, chunk_len: int,
     return carry, empty, empty
 
 
+# Two jit flavors of the chunk runner. The donating one hands the carry's
+# HBM buffers (latents + Adam state, ~8x the latent size at bench shapes)
+# back to XLA for in-place reuse between chunks.
+_optimize_chunk = partial(jax.jit, static_argnums=(0, 4, 5, 7, 8))(
+    _optimize_chunk_impl
+)
+_optimize_chunk_donate = partial(
+    jax.jit, static_argnums=(0, 4, 5, 7, 8), donate_argnums=(6,)
+)(_optimize_chunk_impl)
+
+
 def _run_optimization(
     model, params, x, lmbda, rng, method: MethodSpec, y0, z0,
-    chunk_size: int = 200, probe_every: int = 0,
+    chunk_size: int = 200, probe_every: int = 0, unroll: int = 1,
+    donate: bool = False,
 ):
     """Host-side chunk loop around _optimize_chunk.
 
@@ -288,11 +304,12 @@ def _run_optimization(
     probes = []
     its_done = 0
     empty = jnp.zeros((0,), jnp.float32)
+    chunk_fn = _optimize_chunk_donate if donate else _optimize_chunk
     # Full-size chunks plus at most one remainder chunk (one extra compile).
     while its_done < method.iterations:
         this = min(chunk_size, method.iterations - its_done)
-        carry, chunk_losses, chunk_probes = _optimize_chunk(
-            model, params, x, lmbda, method, this, carry, probe_every
+        carry, chunk_losses, chunk_probes = chunk_fn(
+            model, params, x, lmbda, method, this, carry, probe_every, unroll
         )
         its_done += this
         if not method.early_stop:
@@ -401,6 +418,8 @@ class LatentOptimizer:
         seed: int = 0,
         chunk_size: int = 200,
         probe_every: int = 0,
+        unroll: int = 1,
+        donate: bool = False,
     ) -> Dict[str, Any]:
         """Run the full iterative inference for one image batch.
 
@@ -416,7 +435,8 @@ class LatentOptimizer:
         y0, z0 = _amortized_init(self.model, self.params, x)
         latents, losses, probes = _run_optimization(
             self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0,
-            chunk_size=chunk_size, probe_every=probe_every,
+            chunk_size=chunk_size, probe_every=probe_every, unroll=unroll,
+            donate=donate,
         )
         transmitted = _quantize_transmitted(
             self.model, self.params, latents, method.name

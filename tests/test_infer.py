@@ -206,3 +206,37 @@ class TestVerboseProbes:
         # so the final probe should be near the final eval objective.
         rd_final = 0.01 * res["mse"].mean() + res["est_bpp"].mean()
         assert abs(probes[20] - rd_final) / rd_final < 0.5
+
+
+class TestEngineKnobs:
+    """Perf knobs must not change results: carry donation is bitwise
+    identical; scan unroll may only reassociate fusions (float-noise loss
+    deltas, same optimization trajectory)."""
+
+    def test_donate_bitwise_identical(self, opt, image):
+        m = SGA.replace(iterations=30)
+        r0 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10)
+        r1 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10,
+                          donate=True)
+        np.testing.assert_array_equal(r0["y"], r1["y"])
+        np.testing.assert_array_equal(r0["z"], r1["z"])
+        np.testing.assert_array_equal(r0["losses"], r1["losses"])
+
+    def test_unroll_equivalent(self, opt, image):
+        m = SGA.replace(iterations=30)
+        r0 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10)
+        r1 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10,
+                          unroll=2)
+        np.testing.assert_array_equal(r0["y"], r1["y"])
+        np.testing.assert_array_equal(r0["z"], r1["z"])
+        np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-4)
+
+    def test_donate_with_early_stop_method(self, opt, image):
+        from nic_tpu.infer.methods import MAP
+
+        m = MAP.replace(iterations=20, probe_interval=5)
+        r0 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10)
+        r1 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10,
+                          donate=True)
+        np.testing.assert_array_equal(r0["y"], r1["y"])
+        np.testing.assert_array_equal(r0["z"], r1["z"])
