@@ -35,10 +35,17 @@ def main():
         ("unroll2", dict(unroll=2)),
         ("donate", dict(donate=True)),
         ("unroll2+donate", dict(unroll=2, donate=True)),
+        # TPU-native RBG generator for the per-step Gumbel noise (threefry
+        # is a long VPU op chain; rbg is a hardware generator).
+        ("rbg", dict(rng=jax.random.key(1, impl="rbg"))),
+        ("rbg+donate", dict(rng=jax.random.key(1, impl="rbg"), donate=True)),
     ]
     base = None
     for name, kw in variants:
-        opt.optimize(x, lmbda=0.01, method=method, seed=0, **kw)  # compile
+        warm_kw = dict(kw)
+        if "rng" in warm_kw:
+            warm_kw["rng"] = jax.random.key(0, impl="rbg")
+        opt.optimize(x, lmbda=0.01, method=method, seed=0, **warm_kw)  # compile
         t0 = time.perf_counter()
         r = opt.optimize(x, lmbda=0.01, method=method, seed=1, **kw)
         dt = time.perf_counter() - t0
