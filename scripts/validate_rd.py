@@ -55,7 +55,11 @@ def main():
     state = trainer.restore_or_init()
     print(f"restored step {step} from {trainer.save_dir}")
 
-    model = trainer.model.replace(compute_dtype=jnp.bfloat16)
+    from nic_tpu.models.mbt2018 import MeanScaleHyperprior
+
+    model = MeanScaleHyperprior(
+        num_filters=args.num_filters, compute_dtype=jnp.bfloat16
+    )
     opt = LatentOptimizer(model, state.params)
 
     X = np.load(args.eval_npy).astype(np.float32)
