@@ -7,6 +7,7 @@ all-reduce. Works identically on a real TPU pod slice and on the fake
 8-device CPU mesh used in tests.
 """
 
+import os
 from typing import Optional
 
 import jax
@@ -16,11 +17,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def max_mesh_devices() -> Optional[int]:
+    """Optional cap on default mesh width (env NIC_TPU_MAX_MESH_DEVICES).
+
+    Needed on low-core hosts running virtual multi-device CPU meshes: XLA:CPU
+    sizes its shared Eigen pool to the forced device count, and an N-wide
+    in-process all-reduce can deadlock when all N pool threads block in the
+    collective rendezvous while the straggler partitions' compute sits queued
+    behind them. Forcing 2N virtual devices but meshing over N leaves N spare
+    workers, which removes the deadlock (tests/conftest.py does exactly this).
+    """
+    v = os.environ.get("NIC_TPU_MAX_MESH_DEVICES", "").strip()
+    return int(v) if v else None
+
+
+def default_device_count() -> int:
+    """Device count for meshes when the caller doesn't pin one."""
+    n = jax.device_count()
+    cap = max_mesh_devices()
+    return min(n, cap) if cap else n
+
+
 def data_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """A 1-D mesh over the first ``num_devices`` devices (default: all)."""
-    devices = jax.devices()
-    if num_devices is not None:
-        devices = devices[:num_devices]
+    """A 1-D mesh over the first ``num_devices`` devices (default: all,
+    subject to the NIC_TPU_MAX_MESH_DEVICES cap)."""
+    devices = jax.devices()[: num_devices or default_device_count()]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 

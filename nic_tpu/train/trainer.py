@@ -33,7 +33,12 @@ import optax
 
 from nic_tpu.models.mbt2018 import MeanScaleHyperprior, rd_loss
 from nic_tpu.models.mbt2018_bb import BitsBackHyperprior, bb_rd_loss
-from nic_tpu.parallel.mesh import batch_sharding, data_mesh, replicated_sharding
+from nic_tpu.parallel.mesh import (
+    batch_sharding,
+    data_mesh,
+    default_device_count,
+    replicated_sharding,
+)
 from nic_tpu.train import checkpoint as ckpt_lib
 
 
@@ -111,7 +116,7 @@ class Trainer:
                 f"window); got {cfg.patchsize}"
             )
         # The data axis cannot exceed the batch size and must divide it.
-        n = cfg.num_devices or jax.device_count()
+        n = cfg.num_devices or default_device_count()
         n = min(n, cfg.batchsize)
         while cfg.batchsize % n:
             n -= 1

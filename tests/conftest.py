@@ -10,9 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # 16 virtual devices but 8-wide meshes (NIC_TPU_MAX_MESH_DEVICES):
+    # XLA:CPU sizes its shared Eigen pool to the forced device count, and on
+    # a low-core host an 8-wide in-process all-reduce over an 8-thread pool
+    # can deadlock (all workers block in the collective rendezvous while the
+    # straggler partitions' compute sits queued behind them). The 8 spare
+    # workers keep the rendezvous drainable. See parallel/mesh.py.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=16"
     ).strip()
+os.environ.setdefault("NIC_TPU_MAX_MESH_DEVICES", "8")
 
 import jax
 

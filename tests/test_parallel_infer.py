@@ -25,7 +25,7 @@ def setup():
 class TestShardedInference:
     def test_matches_single_device(self, setup):
         model, params = setup
-        assert jax.device_count() == 8
+        assert jax.device_count() >= 8
         x = np.random.default_rng(0).random((8, 64, 64, 3)).astype(np.float32)
         spec = SGA.replace(iterations=15)
 

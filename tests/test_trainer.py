@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from nic_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from nic_tpu.parallel.mesh import data_mesh
 from nic_tpu.train.trainer import TrainConfig, Trainer
 
 
@@ -35,7 +36,8 @@ def batches(cfg, n=100):
 
 class TestTrainer:
     def test_runs_on_8_device_mesh(self, tmp_path):
-        assert jax.device_count() == 8
+        assert jax.device_count() >= 8
+        assert data_mesh().devices.size == 8
         cfg = make_cfg(tmp_path)
         trainer = Trainer(cfg)
         state = trainer.fit(iter(batches(cfg)), verbose=False)
