@@ -282,7 +282,10 @@ def _optimize_chunk_impl(model, params, x, lmbda, method: MethodSpec,
 
 # Two jit flavors of the chunk runner. The donating one hands the carry's
 # HBM buffers (latents + Adam state, ~8x the latent size at bench shapes)
-# back to XLA for in-place reuse between chunks.
+# back to XLA for in-place reuse between chunks. Donation is the default
+# (paired A/B on v5e: median +3.6-3.9% over 2 experiments, never harmful,
+# and it halves the carry's peak HBM footprint); donate=False remains for
+# callers that need the inputs preserved.
 _optimize_chunk = partial(jax.jit, static_argnums=(0, 4, 5, 7, 8))(
     _optimize_chunk_impl
 )
@@ -294,7 +297,7 @@ _optimize_chunk_donate = partial(
 def _run_optimization(
     model, params, x, lmbda, rng, method: MethodSpec, y0, z0,
     chunk_size: int = 200, probe_every: int = 0, unroll: int = 1,
-    donate: bool = False,
+    donate: bool = True,
 ):
     """Host-side chunk loop around _optimize_chunk.
 
@@ -419,7 +422,7 @@ class LatentOptimizer:
         chunk_size: int = 200,
         probe_every: int = 0,
         unroll: int = 1,
-        donate: bool = False,
+        donate: bool = True,
     ) -> Dict[str, Any]:
         """Run the full iterative inference for one image batch.
 
