@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--save_reconstruction", action="store_true",
         help="Save the reconstruction PNG (single-image inputs, sga.py:280-291).",
     )
+    compress_cmd.add_argument(
+        "--spatial", action="store_true",
+        help="Shard each image's rows across all devices (halo-exchange "
+        "model parallelism, parallel/spatial.py) instead of batching images. "
+        "For single large images; H must be a multiple of 16*n_devices.",
+    )
 
     decompress_cmd = sub.add_parser("decompress")
 
@@ -200,6 +206,26 @@ def run_compress(args):
             annealing_rate=args.annealing_rate,
             t0=args.t0,
         )
+        if getattr(args, "spatial", False):
+            from nic_tpu.parallel.spatial import SpatialLatentOptimizer
+
+            spec = replace(spec, early_stop=False)
+            sp = SpatialLatentOptimizer(model, params)
+
+            class _SpatialAdapter:
+                def optimize(self, batch, lmbda, method, seed, probe_every=0):
+                    outs = [
+                        sp.optimize(img[None], lmbda, method=method, seed=seed)
+                        for img in np.asarray(batch)
+                    ]
+                    return {
+                        k: np.concatenate([np.atleast_1d(o[k]) for o in outs])
+                        if k != "losses"
+                        else outs[-1]["losses"]
+                        for k in outs[0]
+                    } | {"rounded_losses": np.asarray([])}
+
+            opt = _SpatialAdapter()
         fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
         results = {k: [] for k in fields}
         opt_record = {"its": [], "rd_loss": [], "rd_loss_after_rounding": []}

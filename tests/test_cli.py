@@ -105,6 +105,36 @@ class TestCLI:
         bundle = np.load(results[0])
         assert np.isfinite(bundle["est_bpp"]).all()
 
+    def test_sga_compress_spatial_cli(self, workspace):
+        """--spatial shards a single image's rows across the mesh and must
+        produce the same results-bundle surface as the batch path."""
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        big = (np.random.default_rng(1).random((256, 320, 3)) * 255).astype(
+            np.uint8
+        )
+        Image.fromarray(big).save(workspace / "big.png")
+        out = str(workspace / "sga_spatial.ntc")
+        main(
+            _common(
+                workspace,
+                "sga",
+                "compress",
+                "--results_dir",
+                str(workspace / "results_spatial"),
+                "--sga_its",
+                "5",
+                "--spatial",
+                runname,
+                str(workspace / "big.png"),
+                out,
+            )
+        )
+        results = glob.glob(str(workspace / "results_spatial" / "rd-sga-*.npz"))
+        assert results
+        bundle = np.load(results[0])
+        assert np.isfinite(bundle["est_bpp"]).all()
+        assert os.path.getsize(out) > 0
+
     def test_sga_writes_optimized_bitstream(self, workspace):
         runname = "mbt2018-num_filters=4-lmbda=0.01"
         out = str(workspace / "sga_out.ntc")

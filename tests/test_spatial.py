@@ -1,0 +1,92 @@
+"""Spatial (halo-exchange) model parallelism: exactness and engine behavior.
+
+The sharded transforms must match the unsharded ones bit-for-bit up to fp32
+reduction order — including at the mesh edges, where the per-layer ppermute
+zero fill must reproduce SAME zero padding (see parallel/spatial.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nic_tpu.infer.engine import LatentOptimizer
+from nic_tpu.infer.methods import DANNEAL, MAP, SGA, UNOISE
+from nic_tpu.models.mbt2018 import MeanScaleHyperprior
+from nic_tpu.parallel.spatial import SpatialLatentOptimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MeanScaleHyperprior(num_filters=16)
+    x = np.random.default_rng(0).random((1, 256, 384, 3), np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x),
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    params = variables["params"]
+    return model, params, x
+
+
+class TestExactness:
+    def test_amortized_init_matches_unsharded(self, setup):
+        model, params, x = setup
+        sp = SpatialLatentOptimizer(model, params)
+        assert sp.n == 8
+        ys, zs = sp.amortized_init(jnp.asarray(x))
+        y, z = LatentOptimizer(model, params).amortized_init(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(y), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(zs), np.asarray(z), atol=2e-5)
+
+    def test_danneal_matches_batch_engine(self, setup):
+        """Deterministic method, same schedule and Adam: the sharded loop
+        must land on the same rounded latents and metrics."""
+        model, params, x = setup
+        spec = DANNEAL.replace(iterations=25)
+        rs = SpatialLatentOptimizer(model, params).optimize(x, 0.01, method=spec)
+        rb = LatentOptimizer(model, params).optimize(x, 0.01, method=spec)
+        assert np.mean(rs["y"] == rb["y"]) > 0.999
+        np.testing.assert_allclose(rs["est_bpp"], rb["est_bpp"], rtol=1e-3)
+        np.testing.assert_allclose(rs["psnr"], rb["psnr"], rtol=1e-3)
+
+    def test_map_quantize_path(self, setup):
+        """MAP transmits mean/median-centered latents; path must run and
+        match the batch engine's quantization on the same latents."""
+        model, params, x = setup
+        spec = MAP.replace(iterations=10, early_stop=False)
+        rs = SpatialLatentOptimizer(model, params).optimize(x, 0.01, method=spec)
+        assert np.isfinite(rs["est_bpp"]).all()
+        assert rs["x_tilde"].shape == x.shape
+
+
+class TestEngine:
+    def test_sga_improves_rd_over_amortized(self, setup):
+        model, params, x = setup
+        sp = SpatialLatentOptimizer(model, params)
+        r = sp.optimize(x, 0.01, method=SGA.replace(iterations=150), seed=0)
+        base = LatentOptimizer(model, params).eval_amortized(x)
+
+        def rd(res):
+            return 0.01 * res["mse"][0] + res["est_bpp"][0]
+
+        assert rd(r) < rd(base)
+
+    def test_losses_recorded_and_msssim(self, setup):
+        model, params, x = setup
+        r = SpatialLatentOptimizer(model, params).optimize(
+            x, 0.01, method=UNOISE.replace(iterations=12), chunk_size=5
+        )
+        assert r["losses"].shape == (12,)
+        assert "msssim" in r and np.isfinite(r["msssim"]).all()
+
+    def test_shape_constraints(self, setup):
+        model, params, _ = setup
+        sp = SpatialLatentOptimizer(model, params)
+        bad = np.zeros((1, 200, 384, 3), np.float32)  # H not multiple of 64
+        with pytest.raises(ValueError):
+            sp.optimize(bad, 0.01, method=SGA.replace(iterations=1))
+        small = np.zeros((1, 128, 384, 3), np.float32)  # < 32 * 8 rows
+        with pytest.raises(ValueError):
+            sp.optimize(small, 0.01, method=SGA.replace(iterations=1))
