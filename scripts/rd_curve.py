@@ -1,0 +1,146 @@
+"""Assemble an RD curve across every trained lambda checkpoint.
+
+The reference publishes its results as per-method CSVs of (bpp, psnr) rows,
+one row per training lambda (results/kodak/sga-psnr.csv etc.). This script
+is the producing side of that artifact for this framework: it scans a
+checkpoint directory for runs of one model family, evaluates each at
+amortized + the requested iterative methods on a held-out .npy batch, and
+writes
+
+  <out>/<method>-psnr.csv      "bpp,psnr" rows sorted by bpp (reference format)
+  <out>/rd_curve.json          full structured results
+  <out>/rd_curve.png           the curve plot (matplotlib, if available)
+
+Usage:
+  python scripts/rd_curve.py EVAL_NPY [--checkpoint_dir D] [--out results/synth]
+      [--methods amortized,sga] [--its 2000] [--num_filters N]
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import time
+
+import numpy as np
+
+
+def find_runs(checkpoint_dir: str, num_filters: int):
+    """(runname, lmbda) for every mbt2018 run with a checkpoint."""
+    runs = []
+    pat = re.compile(
+        rf"^mbt2018-num_filters={num_filters}-lmbda=([0-9.eE+-]+)$"
+    )
+    for d in sorted(glob.glob(os.path.join(checkpoint_dir, "*"))):
+        m = pat.match(os.path.basename(d))
+        if m and glob.glob(os.path.join(d, "ckpt-*")):
+            runs.append((os.path.basename(d), float(m.group(1))))
+    return runs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("eval_npy")
+    ap.add_argument("--checkpoint_dir", default="./checkpoints")
+    ap.add_argument("--out", default="./results/synth")
+    ap.add_argument("--methods", default="amortized,sga")
+    ap.add_argument("--its", type=int, default=2000)
+    ap.add_argument("--num_filters", type=int, default=192)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from nic_tpu.infer import methods as M
+    from nic_tpu.infer.engine import LatentOptimizer
+    from nic_tpu.models.mbt2018 import MeanScaleHyperprior
+    from nic_tpu.train.trainer import TrainConfig, Trainer
+
+    runs = find_runs(args.checkpoint_dir, args.num_filters)
+    if not runs:
+        raise SystemExit(
+            f"no mbt2018-num_filters={args.num_filters}-lmbda=* checkpoints "
+            f"under {args.checkpoint_dir}"
+        )
+    print(f"runs: {[r[0] for r in runs]}")
+
+    X = np.load(args.eval_npy).astype(np.float32)
+    if X.max() > 1.5:
+        X = X / 255.0
+
+    curve = {m: [] for m in args.methods.split(",")}
+    detail = []
+    for runname, lmbda in runs:
+        tc = TrainConfig(
+            model="mbt2018",
+            num_filters=args.num_filters,
+            checkpoint_dir=args.checkpoint_dir,
+            runname=runname,
+        )
+        trainer = Trainer(tc)
+        state = trainer.restore_or_init()
+        step = int(state.step)
+        model = MeanScaleHyperprior(
+            num_filters=args.num_filters, compute_dtype=jnp.bfloat16
+        )
+        opt = LatentOptimizer(model, state.params)
+        row = dict(runname=runname, lmbda=lmbda, step=step, methods={})
+        for name in curve:
+            t0 = time.time()
+            if name == "amortized":
+                r = opt.eval_amortized(X)
+            else:
+                spec = getattr(M, name.upper()).replace(iterations=args.its)
+                r = opt.optimize(X, lmbda=lmbda, method=spec, seed=0)
+            bpp = float(np.mean(r["est_bpp"]))
+            psnr = float(np.mean(r["psnr"]))
+            ms = float(np.mean(r["msssim"]))
+            curve[name].append((bpp, psnr))
+            row["methods"][name] = dict(
+                bpp=bpp, psnr=psnr, msssim=ms, secs=time.time() - t0
+            )
+            print(
+                f"{runname} {name:10s} step={step} bpp={bpp:.4f} "
+                f"psnr={psnr:6.3f} msssim={ms:.4f}"
+            )
+        detail.append(row)
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, pts in curve.items():
+        pts = sorted(pts)
+        path = os.path.join(args.out, f"{name}-psnr.csv")
+        with open(path, "w") as f:
+            f.write("".join(f"{b:.4f},{p:.6f}\n" for b, p in pts))
+        print(f"wrote {path}")
+    with open(os.path.join(args.out, "rd_curve.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5.2, 4.2), dpi=140)
+        for name, pts in curve.items():
+            pts = sorted(pts)
+            ax.plot(
+                [p[0] for p in pts],
+                [p[1] for p in pts],
+                marker="o",
+                label=name,
+            )
+        ax.set_xlabel("bits per pixel")
+        ax.set_ylabel("PSNR (dB)")
+        ax.set_title("RD curve (held-out eval batch)")
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "rd_curve.png"))
+        print(f"wrote {os.path.join(args.out, 'rd_curve.png')}")
+    except Exception as e:  # plotting is best-effort
+        print(f"plot skipped: {e}")
+
+
+if __name__ == "__main__":
+    main()
