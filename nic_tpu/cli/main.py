@@ -209,7 +209,6 @@ def run_compress(args):
         if getattr(args, "spatial", False):
             from nic_tpu.parallel.spatial import SpatialLatentOptimizer
 
-            spec = replace(spec, early_stop=False)
             sp = SpatialLatentOptimizer(model, params)
 
             class _SpatialAdapter:

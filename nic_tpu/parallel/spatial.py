@@ -161,6 +161,33 @@ def _loss_local(model, params, latents, x_local, lmbda, num_pixels,
     return lmbda * mse + bpp, (mse, bpp)
 
 
+def _quantize_local(model, params, method: str, y_local, z, axis: str):
+    """Per-shard transmitted latents (engine._quantize_transmitted SPMD):
+    y_local sharded, z replicated."""
+    if method in ("sga", "ste", "danneal"):
+        return jnp.round(y_local), jnp.round(z)
+    z_hat = model.apply({"params": params}, z, method=model.quantize_z)
+    mu_src = z if method == "map" else z_hat
+    mu, _ = model.apply(
+        {"params": params}, mu_src, None, method=model.hyper_synthesize
+    )
+    mu = _slice_rows(mu, y_local.shape[1], axis)
+    return _GC.quantize(y_local, mu), z_hat
+
+
+def _probe_objective_local(model, params, y_local, z, x_local, lmbda,
+                           num_pixels, method: str, axis: str):
+    """The true discrete objective after quantization, psum'd — identical on
+    every device, so early-stop decisions stay replicated-consistent."""
+    yq, zq = _quantize_local(model, params, method, y_local, z, axis)
+    key = jax.random.PRNGKey(0)  # unused by the identity relaxation
+    loss, _ = _loss_local(
+        model, params, Latents(y=yq, z=zq), x_local, lmbda, num_pixels,
+        1.0, key, key, "map", axis
+    )
+    return loss
+
+
 def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
                    chunk_len: int):
     """The shard_map body: `chunk_len` optimization steps on-device."""
@@ -174,7 +201,7 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
             has_aux=True,
         )
 
-        def step(c, _):
+        def common_step(c):
             y, z, ady, adz, rng, it = c
             T = annealed_temperature(
                 it, r=method.annealing_rate, ub=method.temperature_ub,
@@ -194,7 +221,62 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
             (z,), adz = adam_update((z,), (gz,), adz, method.lr)
             return (y, z, ady, adz, rng, it + 1), loss
 
-        return lax.scan(step, carry, None, length=chunk_len)
+        if not method.early_stop:
+
+            def step(c, _):
+                return common_step(c)
+
+            return lax.scan(step, carry, None, length=chunk_len)
+
+        # Early-stopping variant (map.py:186-193, ste.py:185-194): probe the
+        # rounded objective every probe_interval its, keep the last improving
+        # latents, stop when it worsens. The probe is psum'd, so every shard
+        # takes the same branch.
+        probe = method.probe_interval
+        base, saved_y, saved_z, prev_obj, stopped = carry
+        it_end = base[5] + chunk_len
+
+        def cond(c):
+            base, _, _, _, stopped = c
+            it = base[5]
+            return jnp.logical_and(
+                jnp.logical_and(it < it_end, it < method.iterations), ~stopped
+            )
+
+        def body(c):
+            base, saved_y, saved_z, prev_obj, stopped = c
+            it = base[5]
+            new_base, loss = common_step(base)
+
+            def run_probe(args):
+                nb, sy, sz, po, st = args
+                if method.name == "ste":
+                    # STE compares the relaxed objective (ste.py:185-193).
+                    obj = loss
+                else:
+                    obj = _probe_objective_local(
+                        model, params, nb[0], nb[1], x_local, lmbda,
+                        num_pixels, method.name, axis
+                    )
+                improved = obj <= po
+                sy = jnp.where(improved, nb[0], sy)
+                sz = jnp.where(improved, nb[1], sz)
+                return (
+                    nb, sy, sz,
+                    jnp.where(improved, obj, po),
+                    jnp.logical_or(st, ~improved),
+                )
+
+            it_probe = (it % probe == 0) | (it == method.iterations - 1)
+            return lax.cond(
+                it_probe, run_probe, lambda a: a,
+                (new_base, saved_y, saved_z, prev_obj, stopped),
+            )
+
+        carry = lax.while_loop(cond, body, (base, saved_y, saved_z, prev_obj,
+                                            stopped))
+        empty = jnp.zeros((0,), jnp.float32)
+        return carry, empty
 
     return chunk
 
@@ -207,8 +289,8 @@ def _adam_spec(param_spec):
     return AdamState(m=(param_spec,), v=(param_spec,), t=P())
 
 
-def _carry_specs():
-    return (
+def _carry_specs(early_stop: bool = False):
+    base = (
         _row_spec(),                 # y (sharded by rows)
         P(),                         # z (replicated)
         _adam_spec(_row_spec()),     # adam(y)
@@ -216,6 +298,9 @@ def _carry_specs():
         P(),                         # rng key
         P(),                         # iteration counter
     )
+    if not early_stop:
+        return base
+    return (base, _row_spec(), P(), P(), P())  # + saved y/z, prev_obj, stopped
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -279,8 +364,10 @@ class SpatialLatentOptimizer:
     (H >= 32 * n_devices). Callers pad to 64-multiples exactly like the
     single-device path pads odd sizes, and crop the returned reconstruction.
 
-    All methods run their full `iterations` budget (the early-stop probes of
-    MAP/STE are a host-loop feature of the batch engine only).
+    MAP/STE early stopping works exactly as in the batch engine: the rounded
+    objective is probed every `probe_interval` iterations and the loop exits
+    on the first worsening probe; the probe is psum'd so every shard takes
+    the same branch.
     """
 
     def __init__(self, model: MeanScaleHyperprior, params: Any,
@@ -324,7 +411,7 @@ class SpatialLatentOptimizer:
             body = _make_chunk_fn(
                 self.model, method, num_pixels, DATA_AXIS, chunk_len
             )
-            specs = _carry_specs()
+            specs = _carry_specs(method.early_stop)
             fn = jax.shard_map(
                 body,
                 mesh=self.mesh,
@@ -404,6 +491,14 @@ class SpatialLatentOptimizer:
             self._replicated(jax.random.PRNGKey(seed)),
             self._replicated(jnp.zeros((), jnp.int32)),
         )
+        if method.early_stop:
+            carry = (
+                carry,
+                self._sharded(jnp.copy(y0)),
+                self._replicated(jnp.copy(z0)),
+                self._replicated(jnp.float32(jnp.inf)),
+                self._replicated(jnp.zeros((), bool)),
+            )
 
         losses = []
         its_done = 0
@@ -413,10 +508,21 @@ class SpatialLatentOptimizer:
             carry, chunk_losses = runner(
                 self.params, x, jnp.float32(lmbda), carry
             )
-            losses.append(chunk_losses)
             its_done += this
+            if not method.early_stop:
+                losses.append(chunk_losses)
+            elif bool(jax.device_get(carry[4])):
+                break
 
-        yq, zq = self._quantize_transmitted(method.name, carry[0], carry[1])
+        if method.early_stop:
+            base, saved_y, saved_z, _, stopped = carry
+            yf = jnp.where(stopped, saved_y, base[0])
+            zf = jnp.where(stopped, saved_z, base[1])
+            losses = [jnp.zeros((0,), jnp.float32)]
+        else:
+            yf, zf = carry[0], carry[1]
+
+        yq, zq = self._quantize_transmitted(method.name, yf, zf)
         metrics = _eval_transmitted_spatial(
             self.model, self.mesh, self.params, x, yq, zq
         )
