@@ -173,6 +173,10 @@ class Trainer:
             return loss, metrics
 
         def step(state: TrainState, batch) -> tuple:
+            # uint8 batches (the PatchPipeline contract) normalize on device;
+            # fp32 batches (tests, numpy feeds) pass through unchanged.
+            if batch.dtype == jnp.uint8:
+                batch = batch.astype(jnp.float32) / 255.0
             step_rng = jax.random.fold_in(state.rng, state.step)
             grads, metrics = jax.grad(loss_fn, has_aux=True)(
                 state.params, batch, step_rng
@@ -305,6 +309,8 @@ class Trainer:
                     # original/reconstruction image summaries
                     # (tf_boilerplate.py:71-76): one eval forward per cadence.
                     img_batch = batch[-1] if k > 1 else batch
+                    if img_batch.dtype == jnp.uint8:
+                        img_batch = img_batch.astype(jnp.float32) / 255.0
                     out = self.model.apply(
                         {"params": state.params}, img_batch, training=False
                     )
