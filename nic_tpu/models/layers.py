@@ -50,6 +50,59 @@ def _depth_to_space2(x4, co):
     return x4.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, co)
 
 
+def _phase_kernels_up2(w):
+    """Split a stride-2 conv_transpose kernel (5,5,ci,co) into FOUR exact
+    phase kernels with per-phase tap counts 2x2/2x3/3x2/3x3 — 25 live taps
+    total, the same FLOPs as the transposed conv and none of the
+    dilated-input zeros (unlike the 36-tap subpixel rewrite).
+
+    Derivation: conv_transpose SAME places the flipped kernel at
+    2q - (k//2 - 1), so out[2i+r] = sum_a x[i-a] * wf[2a+r+1] over taps with
+    0 <= 2a+r+1 < 5. Returns [(r, t, kernel, (pad_top, pad_left))]."""
+    if w.shape[0] != 5 or w.shape[1] != 5:
+        raise NotImplementedError("phase rewrite is specialized to 5x5 kernels")
+    wf = w[::-1, ::-1]
+    out = []
+    for r in range(2):
+        for t in range(2):
+            # Row offset is -a: order taps by descending a.
+            a_taps = [a for a in (1, 0, -1) if 0 <= 2 * a + r + 1 < 5]
+            b_taps = [b for b in (1, 0, -1) if 0 <= 2 * b + t + 1 < 5]
+            k = jnp.stack(
+                [
+                    jnp.stack([wf[2 * a + r + 1, 2 * b + t + 1] for b in b_taps])
+                    for a in a_taps
+                ]
+            )
+            out.append((r, t, k, (max(a_taps), max(b_taps))))
+    return out
+
+
+def _conv_transpose_phases_up2(x, w):
+    """Element-exact conv_transpose(stride 2, 5x5, SAME) as 4 dense VALID
+    convs (one per output parity phase) + interleave. 25 live taps like the
+    direct form; ~10% faster than XLA's transposed-conv emitter in an
+    ISOLATED differentiated chain on v5e (scripts/exp_phase_conv.py) but
+    30% SLOWER end-to-end in the SGA engine (median x0.70 over 4 interleaved
+    pairs — the 4-conv+interleave form breaks XLA's fusion with IGDN and
+    adds layout ops). Kept opt-in; 'transpose' stays the default."""
+    n, h, wd, _ = x.shape
+    co = w.shape[3]
+    outs = {}
+    for r, t, k, (pt, pl) in _phase_kernels_up2(w):
+        ka, kb = k.shape[0], k.shape[1]
+        xp = jnp.pad(x, ((0, 0), (pt, ka - 1 - pt), (pl, kb - 1 - pl), (0, 0)))
+        outs[(r, t)] = lax.conv_general_dilated(
+            xp, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    y = jnp.stack(
+        [outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=-2
+    )
+    y = y.reshape(n, h, wd, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * wd, co)
+
+
 class SignalConv(nn.Module):
     """2-D convolution with integer down- or up-sampling.
 
@@ -108,7 +161,9 @@ class SignalConv(nn.Module):
                 )
                 y4 = y4 + jnp.tile(b.astype(self.dtype), 4)
             return y4
-        if self.strides_up == 2 and self.upsample_impl == "subpixel":
+        if self.strides_up == 2 and self.upsample_impl == "phases":
+            y = _conv_transpose_phases_up2(x, w)
+        elif self.strides_up == 2 and self.upsample_impl == "subpixel":
             y4 = lax.conv_general_dilated(
                 x,
                 _subpixel_kernel_up2(w),

@@ -47,15 +47,22 @@ class MeanScaleHyperprior(nn.Module):
     num_filters: int = 192
     compute_dtype: Any = jnp.float32
     use_pallas_gdn: bool = False
+    # 'transpose' (default) or 'phases'/'subpixel' (element-exact
+    # alternatives; both measured SLOWER end-to-end on v5e — see layers.py).
+    upsample_impl: str = "transpose"
 
     def setup(self):
         n = self.num_filters
         dt = self.compute_dtype
         self.analysis = AnalysisTransform(n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn)
-        self.synthesis = SynthesisTransform(n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn)
+        self.synthesis = SynthesisTransform(
+            n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn,
+            upsample_impl=self.upsample_impl,
+        )
         self.hyper_analysis = HyperAnalysisTransform(n, dtype=dt)
         self.hyper_synthesis = MBT2018HyperSynthesisTransform(
-            n, num_output_filters=2 * n, dtype=dt
+            n, num_output_filters=2 * n, dtype=dt,
+            upsample_impl=self.upsample_impl,
         )
         self.entropy_bottleneck = FactorizedEntropyModel(channels=n)
         self.conditional = GaussianConditional()

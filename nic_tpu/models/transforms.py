@@ -46,12 +46,14 @@ class SynthesisTransform(nn.Module):
     num_filters: int
     dtype: Any = jnp.float32
     use_pallas_gdn: bool = False
+    upsample_impl: str = "transpose"
 
     @nn.compact
     def __call__(self, y, block_space: bool = False):
         for i in range(3):
             y = SignalConv(self.num_filters, (5, 5), strides_up=2,
-                           dtype=self.dtype, name=f"layer_{i}")(y)
+                           dtype=self.dtype, upsample_impl=self.upsample_impl,
+                           name=f"layer_{i}")(y)
             y = GDN(inverse=True, dtype=self.dtype,
                     use_pallas=self.use_pallas_gdn, name=f"igdn_{i}")(y)
         # Note: routing this 192->3 layer through the full subpixel rewrite
@@ -59,7 +61,8 @@ class SynthesisTransform(nn.Module):
         # handle it well in the *forward*. block_space=True instead returns
         # the last layer's output in 2x2-block space (12 channels, no
         # depth-to-space) for reorder-invariant losses.
-        y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype, name="layer_3")(
+        y = SignalConv(3, (5, 5), strides_up=2, dtype=self.dtype,
+                       upsample_impl=self.upsample_impl, name="layer_3")(
             y, block_space_output=block_space
         )
         return y.astype(jnp.float32)
@@ -118,15 +121,18 @@ class MBT2018HyperSynthesisTransform(nn.Module):
     num_filters: int
     num_output_filters: Optional[int] = None
     dtype: Any = jnp.float32
+    upsample_impl: str = "transpose"
 
     @nn.compact
     def __call__(self, z):
         out = self.num_output_filters or self.num_filters
         z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2,
-                               dtype=self.dtype, name="layer_0")(z))
+                               dtype=self.dtype, upsample_impl=self.upsample_impl,
+                               name="layer_0")(z))
         z = nn.relu(
             SignalConv(int(self.num_filters * 1.5), (5, 5), strides_up=2,
-                       dtype=self.dtype, name="layer_1")(z)
+                       dtype=self.dtype, upsample_impl=self.upsample_impl,
+                       name="layer_1")(z)
         )
         z = SignalConv(out, (3, 3), strides_up=1, dtype=self.dtype, name="layer_2")(z)
         return z.astype(jnp.float32)

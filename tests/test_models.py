@@ -196,3 +196,39 @@ class TestSubpixelEquivalence:
                 co,
             )
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_phases_matches_conv_transpose(self):
+        """The 4-phase upsampling rewrite (25 live taps) must be
+        element-exact with lax.conv_transpose (stride 2, 5x5, SAME)."""
+        from nic_tpu.models.layers import _conv_transpose_phases_up2
+
+        rng = np.random.default_rng(1)
+        for ci, co, h, w in ((4, 6, 9, 7), (3, 5, 6, 6)):
+            x = jnp.asarray(rng.normal(size=(2, h, w, ci)).astype(np.float32))
+            kern = jnp.asarray(rng.normal(size=(5, 5, ci, co)).astype(np.float32))
+            ref = jax.lax.conv_transpose(
+                x, kern, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            got = _conv_transpose_phases_up2(x, kern)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_model_phases_impl_matches_default(self):
+        """Whole-model forward with upsample_impl='phases' equals the
+        transpose default."""
+        from nic_tpu.models.mbt2018 import MeanScaleHyperprior
+
+        x = jnp.asarray(
+            np.random.default_rng(2).random((1, 64, 64, 3), np.float32)
+        )
+        m0 = MeanScaleHyperprior(num_filters=8)
+        m1 = MeanScaleHyperprior(num_filters=8, upsample_impl="phases")
+        v = m0.init(jax.random.PRNGKey(0), x, training=True,
+                    rng=jax.random.PRNGKey(1))
+        o0 = m0.apply(v, x, training=False)
+        o1 = m1.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(o0["x_tilde"]), np.asarray(o1["x_tilde"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(o0["mu"]), np.asarray(o1["mu"]), atol=1e-5
+        )
