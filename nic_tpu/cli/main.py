@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     compress_cmd.add_argument("--t0", type=int, default=700)
     compress_cmd.add_argument("--seed", type=int, default=cfg.DEFAULT_SEED)
     compress_cmd.add_argument(
+        "--distortion", choices=("mse", "msssim"), default="mse",
+        help="Distortion term of the optimized objective (use msssim for "
+        "models trained with --distortion msssim; images >= 176px).",
+    )
+    compress_cmd.add_argument(
         "--save_opt_record", action="store_true",
         help="Save per-iteration loss records (configs.py save_opt_record).",
     )
@@ -205,8 +210,11 @@ def run_compress(args):
             iterations=args.sga_its,
             annealing_rate=args.annealing_rate,
             t0=args.t0,
+            distortion=args.distortion,
         )
         if getattr(args, "spatial", False):
+            if args.distortion != "mse":
+                sys.exit("--spatial supports the mse objective only.")
             from nic_tpu.parallel.spatial import SpatialLatentOptimizer
 
             sp = SpatialLatentOptimizer(model, params)

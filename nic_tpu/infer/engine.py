@@ -95,8 +95,13 @@ def _forward(model, params, latents: Latents, x, temperature, rng, method: str,
     return y_tilde, z_tilde, y_lik, z_lik, mu, sigma, x_tilde
 
 
-def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str):
-    """lambda * 255^2 * MSE + mean bpp (sga.py:144-163).
+def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str,
+             distortion: str = "mse"):
+    """lambda * distortion + mean bpp (sga.py:144-163).
+
+    distortion "mse": 255^2 * MSE (the reference's only objective);
+    "msssim": 1 - MS-SSIM, for models trained with --distortion msssim
+    (an extension; images must be >= 176px for the 5-scale window).
 
     Note: computing the distortion in 2x2-block space (bit-identical MSE,
     see synthesize_blocks) benchmarked 7% slower end-to-end on v5e — the
@@ -112,7 +117,13 @@ def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str):
     z_bpp = -jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / (LN2 * num_pixels)
     train_bpp = jnp.mean(y_bpp + z_bpp)
     mse = jnp.mean(jnp.square(x_cmp - x_tilde)) * (255.0 ** 2)
-    loss = jnp.where(lmbda > 0, lmbda * mse + train_bpp, train_bpp)
+    if distortion == "msssim":
+        from nic_tpu.evaluation.metrics import msssim as msssim_fn
+
+        dist = 1.0 - jnp.mean(msssim_fn(x_tilde, x_cmp, 1.0))
+    else:
+        dist = mse
+    loss = jnp.where(lmbda > 0, lmbda * dist + train_bpp, train_bpp)
     return loss, dict(mse=mse, bpp=train_bpp)
 
 
@@ -142,13 +153,14 @@ def _quantize_transmitted(model, params, latents: Latents, method: str) -> Laten
     return Latents(y=_GC.quantize(latents.y, mu), z=z_hat)
 
 
-def _probe_objective(model, params, latents, x, lmbda, method: str):
+def _probe_objective(model, params, latents, x, lmbda, method: str,
+                     distortion: str = "mse"):
     """Early-stop probe: the true discrete objective after quantization
     (map.py:178-193). Evaluated with the MAP graph semantics (identity
     relaxation on the quantized latents)."""
     q = _quantize_transmitted(model, params, latents, method)
     key = jax.random.PRNGKey(0)  # unused by the identity relaxation
-    loss, _ = _rd_loss(model, params, q, x, lmbda, 1.0, key, "map")
+    loss, _ = _rd_loss(model, params, q, x, lmbda, 1.0, key, "map", distortion)
     return loss
 
 
@@ -194,7 +206,9 @@ def _optimize_chunk_impl(model, params, x, lmbda, method: MethodSpec,
     sga.py:218-233); other iterations report NaN.
     """
     grad_fn = jax.value_and_grad(
-        lambda lat, T, k: _rd_loss(model, params, lat, x, lmbda, T, k, method.name),
+        lambda lat, T, k: _rd_loss(
+            model, params, lat, x, lmbda, T, k, method.name, method.distortion
+        ),
         has_aux=True,
     )
 
@@ -227,7 +241,8 @@ def _optimize_chunk_impl(model, params, x, lmbda, method: MethodSpec,
                 probe = lax.cond(
                     it % probe_every == 0,
                     lambda: _probe_objective(
-                        model, params, c.latents, x, lmbda, method.name
+                        model, params, c.latents, x, lmbda, method.name,
+                        method.distortion,
                     ),
                     lambda: jnp.float32(jnp.nan),
                 )
@@ -259,7 +274,8 @@ def _optimize_chunk_impl(model, params, x, lmbda, method: MethodSpec,
                 obj = loss
             else:
                 obj = _probe_objective(
-                    model, params, cc.latents, x, lmbda, method.name
+                    model, params, cc.latents, x, lmbda, method.name,
+                    method.distortion,
                 )
             improved = obj <= cc.prev_obj
             return cc._replace(

@@ -22,6 +22,10 @@ class MethodSpec:
     temperature_ub: float = 0.5
     early_stop: bool = False
     probe_interval: int = 10
+    # Distortion term of the optimized objective: "mse" (the reference's
+    # only choice) or "msssim" (lmbda * (1 - MS-SSIM) + bpp) for models
+    # trained with --distortion msssim. Batch engine only; images >= 176px.
+    distortion: str = "mse"
 
     def replace(self, **kw) -> "MethodSpec":
         from dataclasses import replace as _replace

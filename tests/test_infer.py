@@ -162,6 +162,26 @@ class TestBBEngines:
         )
 
 
+class TestMsssimObjective:
+    def test_sga_msssim_objective_runs_and_differs(self):
+        """distortion='msssim' optimizes lmbda*(1-MS-SSIM)+bpp; its loss
+        trajectory must be finite and distinct from the MSE objective."""
+        model = MeanScaleHyperprior(num_filters=N)
+        x0 = jnp.zeros((1, 192, 192, 3))
+        variables = model.init(
+            jax.random.PRNGKey(0), x0, training=True, rng=jax.random.PRNGKey(1)
+        )
+        o = LatentOptimizer(model, variables["params"])
+        img = np.random.default_rng(3).random((1, 192, 192, 3)).astype(np.float32)
+        ms = o.optimize(
+            img, 10.0, method=SGA.replace(iterations=6, distortion="msssim")
+        )
+        mse = o.optimize(img, 10.0, method=SGA.replace(iterations=6))
+        assert np.isfinite(ms["losses"]).all()
+        # lmbda*(1-msssim) is O(10); lmbda*255^2*MSE is O(10^5) here.
+        assert ms["losses"][0] < mse["losses"][0]
+
+
 class TestBlockSpaceLoss:
     def test_block_space_mse_identical(self, opt, image):
         """The block-space distortion path must produce the same loss as the
