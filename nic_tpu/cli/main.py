@@ -106,8 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     compress_cmd.add_argument(
         "--spatial", action="store_true",
         help="Shard each image's rows across all devices (halo-exchange "
-        "model parallelism, parallel/spatial.py) instead of batching images. "
-        "For single large images; H must be a multiple of 16*n_devices.",
+        "model parallelism, parallel/spatial.py) instead of batching "
+        "images. For single large images; arbitrary sizes are edge-padded "
+        "to the mesh grid and metrics are reported on the original pixels.",
     )
 
     decompress_cmd = sub.add_parser("decompress")
@@ -221,6 +222,12 @@ def run_compress(args):
 
             class _SpatialAdapter:
                 def optimize(self, batch, lmbda, method, seed, probe_every=0):
+                    if probe_every:
+                        print(
+                            "WARNING: --verbose rounded-objective probes are "
+                            "not supported with --spatial; skipping.",
+                            file=sys.stderr,
+                        )
                     outs = [
                         sp.optimize(img[None], lmbda, method=method, seed=seed)
                         for img in np.asarray(batch)

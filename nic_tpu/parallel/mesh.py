@@ -41,8 +41,8 @@ def default_device_count() -> int:
 def data_mesh(num_devices: Optional[int] = None) -> Mesh:
     """A 1-D mesh over the first ``num_devices`` devices (default: all,
     subject to the NIC_TPU_MAX_MESH_DEVICES cap)."""
-    devices = jax.devices()[: num_devices or default_device_count()]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    n = num_devices if num_devices is not None else default_device_count()
+    return Mesh(np.asarray(jax.devices()[:n]), (DATA_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

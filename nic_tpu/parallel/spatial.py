@@ -209,9 +209,11 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
             )
             rng, sub = jax.random.split(rng)
             # Per-device noise for the sharded y rows; a SHARED key for the
-            # replicated z so every device draws the same z noise.
+            # replicated z so every device draws the same z noise. The z
+            # fold-in uses axis_size, which no device index can equal, so
+            # the keys never collide on any mesh width.
             key_y = jax.random.fold_in(sub, lax.axis_index(axis))
-            key_z = jax.random.fold_in(sub, 0x5A)
+            key_z = jax.random.fold_in(sub, lax.axis_size(axis))
             (loss, _), grads = grad_fn(Latents(y=y, z=z), T, key_y, key_z)
             gy, gz = grads.y, grads.z
             # z is replicated: its true global gradient is the sum of every
@@ -279,6 +281,35 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
         return carry, empty
 
     return chunk
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _quantize_global(model, method, params, y, z):
+    """Global-array transmitted-latent quantization (jit-cached at module
+    level so repeated optimize() calls reuse the compiled graph)."""
+    if method in ("sga", "ste", "danneal"):
+        return jnp.round(y), jnp.round(z)
+    z_hat = model.apply({"params": params}, z, method=model.quantize_z)
+    mu_src = z if method == "map" else z_hat
+    mu, _ = model.apply(
+        {"params": params}, mu_src, (y.shape[1], y.shape[2]),
+        method=model.hyper_synthesize,
+    )
+    return _GC.quantize(y, mu), z_hat
+
+
+@jax.jit
+def _msssim_jit(a, b):
+    from nic_tpu.evaluation.metrics import msssim
+
+    return msssim(a, b, 255.0)
+
+
+@jax.jit
+def _msssim_db_jit(ms):
+    from nic_tpu.evaluation.metrics import msssim_db
+
+    return msssim_db(ms)
 
 
 def _row_spec():
@@ -359,10 +390,11 @@ class SpatialLatentOptimizer:
     every chip cooperates on the same image, so latency for a single huge
     input drops with mesh size instead of only throughput.
 
-    Constraints (static, checked): H % 64 == 0, W % 64 == 0,
-    H % (16 * n_devices) == 0, and at least 2 y rows per shard
-    (H >= 32 * n_devices). Callers pad to 64-multiples exactly like the
-    single-device path pads odd sizes, and crop the returned reconstruction.
+    Arbitrary image sizes are edge-padded to the mesh grid (H to a multiple
+    of lcm(64, 16*n) and >= 32*n, W to a multiple of 64); distortion metrics
+    and the returned reconstruction cover only the original pixels, and the
+    rate renormalizes to the original pixel count (actual-transmission
+    semantics for non-aligned sizes).
 
     MAP/STE early stopping works exactly as in the batch engine: the rounded
     objective is probed every `probe_interval` iterations and the loop exits
@@ -447,20 +479,26 @@ class SpatialLatentOptimizer:
     def _quantize_transmitted(self, method: str, y, z):
         """Global-array quantization (outside shard_map; XLA propagates the
         row sharding). Mirrors engine._quantize_transmitted semantics."""
+        return _quantize_global(self.model, method, self.params, y, z)
 
-        @partial(jax.jit, static_argnums=(0, 1))
-        def qfn(model, method, params, y, z):
-            if method in ("sga", "ste", "danneal"):
-                return jnp.round(y), jnp.round(z)
-            z_hat = model.apply({"params": params}, z, method=model.quantize_z)
-            mu_src = z if method == "map" else z_hat
-            mu, _ = model.apply(
-                {"params": params}, mu_src, (y.shape[1], y.shape[2]),
-                method=model.hyper_synthesize,
-            )
-            return _GC.quantize(y, mu), z_hat
+    def _pad_to_grid(self, x):
+        """Edge-pad H to a multiple of max(64, 16*n, 32*n-alignment) and W to
+        a multiple of 64, so arbitrary image sizes work like the batch path.
+        Returns (padded, (orig_H, orig_W))."""
+        n = self.n
+        H, W = x.shape[1], x.shape[2]
 
-        return qfn(self.model, method, self.params, y, z)
+        def up(v, m):
+            return v + (-v) % m
+
+        Hp = max(up(H, 64), up(H, 16 * n), 32 * n)
+        while Hp % 64 or Hp % (16 * n):
+            Hp += 16 * n
+        Wp = up(W, 64)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+                        mode="edge")
+        return x, (H, W)
 
     def optimize(
         self,
@@ -470,9 +508,16 @@ class SpatialLatentOptimizer:
         seed: int = 0,
         chunk_size: int = 200,
     ) -> Dict[str, Any]:
+        if method.distortion != "mse":
+            raise ValueError(
+                "SpatialLatentOptimizer optimizes the MSE objective only "
+                f"(got distortion={method.distortion!r}); use the batch "
+                "LatentOptimizer for msssim."
+            )
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 3:
             x = x[None]
+        x, (orig_h, orig_w) = self._pad_to_grid(x)
         self._check(x.shape[1], x.shape[2])
         num_pixels = x.shape[1] * x.shape[2]
         x = self._sharded(x)
@@ -532,12 +577,42 @@ class SpatialLatentOptimizer:
             losses=np.asarray(jnp.concatenate(losses)),
             **{k: np.asarray(v) for k, v in metrics.items()},
         )
-        if min(x.shape[1], x.shape[2]) >= 176:
-            from nic_tpu.evaluation.metrics import msssim, msssim_db
 
-            x255 = x * 255.0
-            xt255 = jnp.round(jnp.clip(jnp.asarray(out["x_tilde"]), 0, 1) * 255.0)
-            ms = jax.jit(msssim, static_argnums=2)(xt255, x255, 255.0)
+        padded = (orig_h, orig_w) != (x.shape[1], x.shape[2])
+        if padded:
+            # Distortion metrics count only the original pixels; the rate
+            # (which really codes the padded latents) renormalizes to the
+            # original pixel count — actual-transmission semantics for
+            # non-aligned sizes, matching how the codec reports actual_bpp.
+            scale = num_pixels / (orig_h * orig_w)
+            for k in ("est_bpp", "est_y_bpp", "est_z_bpp"):
+                out[k] = out[k] * scale
+            x_np = np.asarray(x)[:, :orig_h, :orig_w]
+            xt = out["x_tilde"][:, :orig_h, :orig_w]
+            x255 = x_np * 255.0
+            xt255 = np.round(np.clip(xt, 0.0, 1.0) * 255.0)
+            out["mse"] = np.mean(
+                np.square(x255 - xt255), axis=(1, 2, 3)
+            ).astype(np.float32)
+            out["psnr"] = (
+                -10.0 * np.log(out["mse"] / 255.0 ** 2) / np.log(10.0)
+            ).astype(np.float32)
+            out["x_tilde"] = xt
+        else:
+            x_np = np.asarray(x)
+
+        batch = x_np.shape[0]
+        if min(orig_h, orig_w) >= 176:
+            x255 = jnp.asarray(x_np) * 255.0
+            xt255 = jnp.round(
+                jnp.clip(jnp.asarray(out["x_tilde"]), 0, 1) * 255.0
+            )
+            ms = _msssim_jit(xt255, x255)
             out["msssim"] = np.asarray(ms)
-            out["msssim_db"] = np.asarray(jax.jit(msssim_db)(ms))
+            out["msssim_db"] = np.asarray(_msssim_db_jit(ms))
+        else:
+            # Too small for the 5-scale window: NaN-fill like the batch
+            # engine so the result surface stays uniform.
+            out["msssim"] = np.full((batch,), np.nan, np.float32)
+            out["msssim_db"] = np.full((batch,), np.nan, np.float32)
         return out

@@ -23,57 +23,9 @@ import numpy as np
 from jax import lax
 
 
-def phase_kernels(w):
-    """Split a (5,5,ci,co) conv_transpose kernel into 4 phase kernels.
-
-    Returns {(r, t): (kernel, (top_pad, left_pad))} where kernel has shape
-    (ka, kb, ci, co) with ka/kb in {2, 3}; the conv for phase (r, t) is a
-    VALID conv over x padded by (top, ka-1-top) rows / (left, kb-1-left)
-    cols. r=0 phases read x[i+a], a in {0,1} (pad 0 above, 1 below);
-    r=1 phases read a in {-1,0,1} (pad 1 above, 1 below).
-    """
-    wf = w[::-1, ::-1]
-    out = {}
-    for r in range(2):
-        for t in range(2):
-            # out[2i+r] = sum_a x[i - a] * wf[2a+r+1]: row offset -a, so
-            # order taps by descending a (ascending row offset).
-            a_taps = [a for a in (1, 0, -1) if 0 <= 2 * a + r + 1 < 5]
-            b_taps = [b for b in (1, 0, -1) if 0 <= 2 * b + t + 1 < 5]
-            k = jnp.stack(
-                [
-                    jnp.stack([wf[2 * a + r + 1, 2 * b + t + 1] for b in b_taps])
-                    for a in a_taps
-                ]
-            )  # (ka, kb, ci, co)
-            pad = (max(a_taps), max(b_taps))  # top/left pad = largest a/b
-            out[(r, t)] = (k, pad)
-    return out
-
-
-def conv_transpose_phases(x, w, b=None):
-    """Exact conv_transpose(stride 2, 5x5, SAME) via 4 phase convs."""
-    phases = phase_kernels(w)
-    n, h, wd, ci = x.shape
-    co = w.shape[3]
-    outs = {}
-    for (r, t), (k, (pt, pl)) in phases.items():
-        ka, kb = k.shape[0], k.shape[1]
-        xp = jnp.pad(x, ((0, 0), (pt, ka - 1 - pt), (pl, kb - 1 - pl), (0, 0)))
-        o = lax.conv_general_dilated(
-            xp, k, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        outs[(r, t)] = o
-    # Interleave phases: out[2i+r, 2j+t] = outs[(r,t)][i, j].
-    y = jnp.stack(
-        [outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=-2
-    )  # (n, h, w, 4, co)
-    y = y.reshape(n, h, wd, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(n, 2 * h, 2 * wd, co)
-    if b is not None:
-        y = y + b
-    return y
+from nic_tpu.models.layers import (  # the shipped implementation
+    _conv_transpose_phases_up2 as conv_transpose_phases,
+)
 
 
 def check():

@@ -97,12 +97,33 @@ class TestEngine:
         assert r["losses"].shape == (12,)
         assert "msssim" in r and np.isfinite(r["msssim"]).all()
 
-    def test_shape_constraints(self, setup):
+    def test_arbitrary_size_pads_and_reports_original_pixels(self, setup):
+        """Non-aligned sizes edge-pad to the mesh grid; metrics cover only
+        the original pixels and track the batch engine's numbers."""
         model, params, _ = setup
         sp = SpatialLatentOptimizer(model, params)
-        bad = np.zeros((1, 200, 384, 3), np.float32)  # H not multiple of 64
+        img = np.random.default_rng(5).random((1, 200, 300, 3)).astype(np.float32)
+        spec = DANNEAL.replace(iterations=8)
+        r = sp.optimize(img, 0.01, method=spec)
+        assert r["x_tilde"].shape == img.shape
+        assert np.isfinite(r["est_bpp"]).all() and np.isfinite(r["psnr"]).all()
+        rb = LatentOptimizer(model, params).optimize(img, 0.01, method=spec)
+        # Padded latents cost slightly more than the batch path's exact-crop
+        # graph; distortion is computed on the same pixels.
+        np.testing.assert_allclose(r["psnr"], rb["psnr"], rtol=0.05)
+        assert r["est_bpp"][0] < rb["est_bpp"][0] * 1.5
+
+    def test_small_image_msssim_is_nan_not_missing(self, setup):
+        model, params, _ = setup
+        sp = SpatialLatentOptimizer(model, params)
+        img = np.random.default_rng(6).random((1, 256, 128, 3)).astype(np.float32)
+        r = sp.optimize(img, 0.01, method=DANNEAL.replace(iterations=2))
+        assert "msssim" in r and np.isnan(r["msssim"]).all()
+
+    def test_msssim_objective_rejected(self, setup):
+        model, params, x = setup
+        sp = SpatialLatentOptimizer(model, params)
         with pytest.raises(ValueError):
-            sp.optimize(bad, 0.01, method=SGA.replace(iterations=1))
-        small = np.zeros((1, 128, 384, 3), np.float32)  # < 32 * 8 rows
-        with pytest.raises(ValueError):
-            sp.optimize(small, 0.01, method=SGA.replace(iterations=1))
+            sp.optimize(
+                x, 10.0, method=SGA.replace(iterations=1, distortion="msssim")
+            )
