@@ -96,12 +96,27 @@ def build_parser() -> argparse.ArgumentParser:
         "models trained with --distortion msssim; images >= 176px).",
     )
     compress_cmd.add_argument(
+        "--unoise_mean_source",
+        choices=("quantized_z", "noisy_z"),
+        default="quantized_z",
+        help="unoise only: mean used to quantize the transmitted y. "
+        "quantized_z (default) is decodable; noisy_z reproduces the "
+        "reference's exact A3 semantics (unoise.py:82,97) but its streams "
+        "are estimate-only.",
+    )
+    compress_cmd.add_argument(
         "--save_opt_record", action="store_true",
         help="Save per-iteration loss records (configs.py save_opt_record).",
     )
     compress_cmd.add_argument(
         "--save_reconstruction", action="store_true",
         help="Save the reconstruction PNG (single-image inputs, sga.py:280-291).",
+    )
+    compress_cmd.add_argument(
+        "--data_parallel", action="store_true",
+        help="Shard the image batch across all available chips through the "
+        "whole jitted optimization loop (LatentOptimizer(mesh=...)); "
+        "per-image latents and Adam state stay chip-local.",
     )
     compress_cmd.add_argument(
         "--spatial", action="store_true",
@@ -192,6 +207,11 @@ def _batches(X):
 def run_compress(args):
     from nic_tpu.evaluation.results import save_rd_results
 
+    if getattr(args, "spatial", False) and args.script not in METHOD_SCRIPTS:
+        sys.exit(
+            f"--spatial is only supported for {METHOD_SCRIPTS} "
+            f"(not {args.script}); it shards the iterative-optimization loop."
+        )
     X = load_input(args.input_file)
     lmbda = _resolve_lmbda(args)
 
@@ -204,7 +224,16 @@ def run_compress(args):
         from nic_tpu.infer.methods import METHODS
 
         model, params = _load_params(args, "mbt2018")
-        opt = LatentOptimizer(model, params)
+        if getattr(args, "data_parallel", False):
+            if getattr(args, "spatial", False):
+                sys.exit("--data_parallel and --spatial are mutually exclusive.")
+            from nic_tpu.parallel.mesh import data_mesh
+
+            mesh = data_mesh()
+            print(f"Data-parallel inference over {mesh.size} device(s).")
+            opt = LatentOptimizer(model, params, mesh=mesh)
+        else:
+            opt = LatentOptimizer(model, params)
         spec = METHODS[args.script]
         spec = replace(
             spec,
@@ -212,41 +241,30 @@ def run_compress(args):
             annealing_rate=args.annealing_rate,
             t0=args.t0,
             distortion=args.distortion,
+            unoise_mu_source=args.unoise_mean_source,
         )
         if getattr(args, "spatial", False):
             if args.distortion != "mse":
                 sys.exit("--spatial supports the mse objective only.")
             from nic_tpu.parallel.spatial import SpatialLatentOptimizer
 
-            sp = SpatialLatentOptimizer(model, params)
-
-            class _SpatialAdapter:
-                def optimize(self, batch, lmbda, method, seed, probe_every=0):
-                    if probe_every:
-                        print(
-                            "WARNING: --verbose rounded-objective probes are "
-                            "not supported with --spatial; skipping.",
-                            file=sys.stderr,
-                        )
-                    outs = [
-                        sp.optimize(img[None], lmbda, method=method, seed=seed)
-                        for img in np.asarray(batch)
-                    ]
-                    return {
-                        k: np.concatenate([np.atleast_1d(o[k]) for o in outs])
-                        if k != "losses"
-                        else outs[-1]["losses"]
-                        for k in outs[0]
-                    } | {"rounded_losses": np.asarray([])}
-
-            opt = _SpatialAdapter()
+            # Same optimize() surface as LatentOptimizer (batches handled
+            # image-by-image inside, batch-mean loss records); probes are a
+            # typed NotImplementedError there, downgraded to a warning here.
+            opt = SpatialLatentOptimizer(model, params)
+            if args.verbose:
+                print(
+                    "WARNING: --verbose rounded-objective probes are not "
+                    "supported with --spatial; skipping.",
+                    file=sys.stderr,
+                )
         fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
         results = {k: [] for k in fields}
         opt_record = {"its": [], "rd_loss": [], "rd_loss_after_rounding": []}
         last_res = None
         # --verbose: probe the true discrete objective every 100 its
-        # (sga.py:218-233).
-        probe_every = 100 if args.verbose else 0
+        # (sga.py:218-233). Not supported in the spatial path (warned above).
+        probe_every = 100 if args.verbose and not getattr(args, "spatial", False) else 0
         for batch in _batches(X):
             res = last_res = opt.optimize(
                 batch, lmbda, method=spec, seed=args.seed, probe_every=probe_every
@@ -274,20 +292,45 @@ def run_compress(args):
             print(f"Saved reconstruction to {recon_path}")
         if args.output_file and last_res is not None:
             # Beyond the reference: actually serialize the optimized latents
-            # (the reference only estimates these rates).
-            from nic_tpu.coding.codec import HyperpriorCodec
+            # (the reference only estimates these rates). sga/ste/danneal
+            # transmit integer-grid latents (mode=1 streams); unoise with
+            # the default quantized_z mean transmits median/mean-centered
+            # latents that the standard amortized scheme codes exactly. map
+            # (mean from continuous z, map.py:100) and unoise --noisy_z are
+            # not decodable by construction — refuse rather than write a
+            # stream no decoder can invert.
+            undecodable = args.script == "map" or (
+                args.script == "unoise" and args.unoise_mean_source == "noisy_z"
+            )
+            if undecodable:
+                print(
+                    f"WARNING: not writing {args.output_file} — "
+                    f"{args.script} transmitted latents use a quantization "
+                    "mean the decoder cannot reproduce (reference "
+                    "semantics); rates are estimate-only. Use unoise "
+                    "--unoise_mean_source quantized_z for a decodable "
+                    "stream.",
+                    file=sys.stderr,
+                )
+            else:
+                from nic_tpu.coding.codec import HyperpriorCodec
 
-            codec = HyperpriorCodec(model, params)
-            blob = codec.compress_optimized(
-                last_res["y"], last_res["z"], X.shape[1:3]
-            )
-            with open(args.output_file, "wb") as f:
-                f.write(blob)
-            num_pixels = int(np.prod(X.shape[:3]))
-            print(
-                f"Wrote {args.output_file}: {len(blob)} bytes "
-                f"({len(blob) * 8 / num_pixels:.4f} bpp actual)"
-            )
+                codec = HyperpriorCodec(model, params)
+                if args.script == "unoise":
+                    blob = codec.compress_latents(
+                        last_res["y"], last_res["z"], X.shape[1:3]
+                    )
+                else:
+                    blob = codec.compress_optimized(
+                        last_res["y"], last_res["z"], X.shape[1:3]
+                    )
+                with open(args.output_file, "wb") as f:
+                    f.write(blob)
+                num_pixels = int(np.prod(X.shape[:3]))
+                print(
+                    f"Wrote {args.output_file}: {len(blob)} bytes "
+                    f"({len(blob) * 8 / num_pixels:.4f} bpp actual)"
+                )
     else:  # bits-back scripts
         from nic_tpu.infer.bb import BB_NO_SGA, BB_PLAIN, BB_SGA, BBLatentOptimizer
 
@@ -397,9 +440,13 @@ def _compress_amortized(args, X):
 def run_decompress(args):
     with open(args.input_file, "rb") as f:
         blob = f.read()
-    if args.script == "mbt2018":
+    if args.script == "mbt2018" or args.script in METHOD_SCRIPTS:
         from nic_tpu.coding.codec import HyperpriorCodec
 
+        # Optimized-latent (.ntc mode=1) streams written by
+        # `sga/map/... compress` decode against the same mbt2018 params;
+        # HyperpriorCodec.decompress dispatches on the mode marker. The
+        # reference's only decode surface is mbt2018.py:248-295.
         model, params = _load_params(args, "mbt2018")
         x_hat = HyperpriorCodec(model, params).decompress(blob)
     else:  # bits-back streams
@@ -439,7 +486,9 @@ def main(argv=None):
     elif args.command == "compress":
         run_compress(args)
     elif args.command == "decompress":
-        if args.script not in ("mbt2018", "bb_plain", "bb_sga", "bb_no_sga"):
+        if args.script not in ("mbt2018", "bb_plain", "bb_sga", "bb_no_sga") and (
+            args.script not in METHOD_SCRIPTS
+        ):
             sys.exit(f"{args.script} does not support decompression.")
         run_decompress(args)
 

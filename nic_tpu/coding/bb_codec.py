@@ -131,6 +131,43 @@ class BitsBackCodec:
     def _grid_centers(self, bins: np.ndarray) -> np.ndarray:
         return (self.grid_lo + (bins.astype(np.float32) + 0.5) * self.delta)
 
+    _INIT_MARGIN = 64  # bytes of slack kept above the measured consumption
+
+    def _seeded_stack(self, seed, n_elem, q_rows, q_cdfs, q_sizes):
+        """Stack whose initial bits are trimmed to what the posterior pop
+        actually consumes (+margin), instead of the 4-bytes-per-element
+        worst-case bound: pass 1 pops against a generous seed to measure
+        consumption; pass 2 re-seeds with just the consumed suffix (the pop
+        reads bytes strictly from the top of the initial buffer, so the
+        suffix reproduces identical bins). This bounds the initial-bits
+        overhead of actual_bpp to ~H(q) + margin even for tiny inputs.
+
+        Returns (stack-after-pop, z_bins, kept_bytes, total_bytes)."""
+        init_total = self.initial_bits or (4 * n_elem + 64)
+        init = np.random.default_rng(seed).bytes(init_total)
+        if self.initial_bits:
+            stack = RansStack(init)
+            return stack, stack.pop(q_rows, q_cdfs, q_sizes), init_total, init_total
+        probe = RansStack(init)
+        s0 = len(probe)
+        z_bins = probe.pop(q_rows, q_cdfs, q_sizes)
+        consumed = max(0, s0 - len(probe))
+        kept = min(init_total, consumed + self._INIT_MARGIN)
+        stack = RansStack(init[init_total - kept:])
+        z_bins2 = stack.pop(q_rows, q_cdfs, q_sizes)
+        if not np.array_equal(z_bins, z_bins2):  # pragma: no cover
+            # Margin too small (pop dug deeper than measured): fall back to
+            # the untrimmed seed.
+            stack = RansStack(init)
+            return stack, stack.pop(q_rows, q_cdfs, q_sizes), init_total, init_total
+        return stack, z_bins2, kept, init_total
+
+    def _expected_initial(self, seed, init_total, kept):
+        import struct
+
+        init = np.random.default_rng(seed).bytes(init_total)
+        return struct.pack("<I", 1 << 23) + init[init_total - kept:]
+
     # -------------------------------------------------------------- encode
 
     def compress(self, x: np.ndarray, seed: int = 0) -> Tuple[bytes, Dict[str, Any]]:
@@ -144,14 +181,12 @@ class BitsBackCodec:
         p_cdfs, p_sizes = self.p_table()
         n_elem = int(np.prod(z_shape))
 
-        # Enough initial bits that popping ~H(q) never underflows the stack
-        # (worst-case renorm draws a few bytes per symbol).
-        init_len = self.initial_bits or (4 * n_elem + 64)
-        init = np.random.default_rng(seed).bytes(init_len)
-        stack = RansStack(init)
-        # Bits-back: pop the posterior "sample" from the stack.
+        # Bits-back: pop the posterior "sample" from a stack seeded with
+        # initial bits trimmed to the measured consumption (~H(q)).
         q_rows = np.arange(n_elem, dtype=np.int32)
-        z_bins = stack.pop(q_rows, q_cdfs, q_sizes)
+        stack, z_bins, init_len, init_total = self._seeded_stack(
+            seed, n_elem, q_rows, q_cdfs, q_sizes
+        )
         z_tilde = jnp.asarray(self._grid_centers(z_bins).reshape(z_shape))
 
         # y payload under p(y | z_tilde).
@@ -181,6 +216,7 @@ class BitsBackCodec:
         packed.add_ints("batch", [x.shape[0]])
         packed.add_ints("seed", [seed])
         packed.add_ints("init_bits", [init_len])
+        packed.add_ints("init_total", [init_total])
         blob = packed.pack()
 
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
@@ -206,6 +242,11 @@ class BitsBackCodec:
         zh, zw = packed.get_ints("z_shape")
         seed = packed.get_ints("seed")[0]
         init_len = packed.get_ints("init_bits")[0]
+        init_total = (
+            packed.get_ints("init_total")[0]
+            if packed.has_ints("init_total")
+            else init_len
+        )
         c = self.model.num_filters
         z_shape = (n, zh, zw, c)
         n_elem = int(np.prod(z_shape))
@@ -238,11 +279,8 @@ class BitsBackCodec:
         recovered = stack.serialize()
         # rANS decode/encode are exact inverses, so the stack must be
         # restored to the encoder's initial state: [LE32 of the rANS lower
-        # bound][initial bits].
-        import struct
-
-        expected = struct.pack("<I", 1 << 23) + np.random.default_rng(seed).bytes(init_len)
-        init_ok = recovered == expected
+        # bound][kept suffix of the seeded initial bits].
+        init_ok = recovered == self._expected_initial(seed, init_total, init_len)
 
         return (
             np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0))),
@@ -330,14 +368,14 @@ class BitsBackCodec:
             dl.reshape(-1) + self.DELTA_CLIP, rows, l_cdfs, l_sizes
         )
 
-        # Bits-back under the reconstructed posterior q_hat.
+        # Bits-back under the reconstructed posterior q_hat, initial bits
+        # trimmed to measured consumption.
         q_cdfs, q_sizes = self.q_tables(z_mean_hat, z_logvar_hat)
         p_cdfs, p_sizes = self.p_table()
-        init_len = self.initial_bits or (4 * n_elem + 64)
-        init = np.random.default_rng(seed).bytes(init_len)
-        stack = RansStack(init)
         q_rows = np.arange(n_elem, dtype=np.int32)
-        z_bins = stack.pop(q_rows, q_cdfs, q_sizes)
+        stack, z_bins, init_len, init_total = self._seeded_stack(
+            seed, n_elem, q_rows, q_cdfs, q_sizes
+        )
         z_tilde = jnp.asarray(self._grid_centers(z_bins).reshape(z_shape))
 
         y_hw = (y_star_np.shape[1], y_star_np.shape[2])
@@ -367,6 +405,7 @@ class BitsBackCodec:
         packed.add_ints("batch", [x.shape[0]])
         packed.add_ints("seed", [seed])
         packed.add_ints("init_bits", [init_len])
+        packed.add_ints("init_total", [init_total])
         packed.add_ints("post_delta", [sm_int, sl_int])
         blob = packed.pack()
 
@@ -392,6 +431,11 @@ class BitsBackCodec:
         zh, zw = packed.get_ints("z_shape")
         seed = packed.get_ints("seed")[0]
         init_len = packed.get_ints("init_bits")[0]
+        init_total = (
+            packed.get_ints("init_total")[0]
+            if packed.has_ints("init_total")
+            else init_len
+        )
         sm_int, sl_int = packed.get_ints("post_delta")
         c = self.model.num_filters
         z_shape = (n, zh, zw, c)
@@ -439,9 +483,7 @@ class BitsBackCodec:
         q_rows = np.arange(n_elem, dtype=np.int32)
         stack.push(z_bins, q_rows, q_cdfs, q_sizes)
         recovered = stack.serialize()
-        import struct
-
-        expected = struct.pack("<I", 1 << 23) + np.random.default_rng(seed).bytes(init_len)
+        expected = self._expected_initial(seed, init_total, init_len)
         return (
             np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0))),
             bool(recovered == expected),

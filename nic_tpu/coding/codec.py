@@ -173,6 +173,52 @@ class HyperpriorCodec:
         packed.add_ints("batch", [x.shape[0]])
         return packed.pack(), out
 
+    def compress_latents(self, y_q: np.ndarray, z_hat: np.ndarray, x_hw) -> bytes:
+        """Serialize median/mean-centered quantized latents (the unoise
+        transmitted pair: z_hat = round(z - median) + median, y_q =
+        round(y - mu) + mu with mu = h_s(z_hat)) into an
+        amortized-compatible bitstream that plain decompress() decodes: the
+        symbols are exactly the integers the standard scheme would code."""
+        z_hat = jnp.asarray(z_hat)
+        medians = self.model.apply(
+            {"params": self.params}, method=self.model.medians
+        )
+        z_symbols = np.asarray(
+            jax.device_get(jnp.round(z_hat - medians))
+        ).astype(np.int32)
+        mu, _, y_indexes = _mu_sigma_pass(
+            self.model, self.params, z_hat, (y_q.shape[1], y_q.shape[2])
+        )
+        y_symbols = np.asarray(
+            jax.device_get(jnp.round(jnp.asarray(y_q) - mu))
+        ).astype(np.int32)
+        y_indexes = np.asarray(jax.device_get(y_indexes))
+
+        zt, yt = self.z_table(), self.y_table()
+        z_rows = np.broadcast_to(
+            np.arange(z_symbols.shape[-1], dtype=np.int32), z_symbols.shape
+        )
+        packed = PackedBitstream()
+        packed.add_stream(
+            "side_string",
+            self.coder.encode(
+                zt.symbols_from_values(z_symbols, z_rows), z_rows,
+                zt.cdfs, zt.cdf_sizes,
+            ),
+        )
+        packed.add_stream(
+            "string",
+            self.coder.encode(
+                yt.symbols_from_values(y_symbols, y_indexes), y_indexes,
+                yt.cdfs, yt.cdf_sizes,
+            ),
+        )
+        packed.add_ints("x_shape", x_hw)
+        packed.add_ints("y_shape", y_q.shape[1:3])
+        packed.add_ints("z_shape", z_hat.shape[1:3])
+        packed.add_ints("batch", [y_q.shape[0]])
+        return packed.pack()
+
     def compress_optimized(self, y_star: np.ndarray, z_star: np.ndarray, x_hw) -> bytes:
         """Serialize latents produced by SGA-style plain rounding into a real
         bitstream — a capability beyond the reference, which only *estimates*
@@ -207,6 +253,12 @@ class HyperpriorCodec:
     def decompress_optimized(self, blob: bytes) -> np.ndarray:
         """Inverse of compress_optimized."""
         packed = PackedBitstream.unpack(blob)
+        mode = packed.get_ints("mode")[0] if packed.has_ints("mode") else 0
+        if mode != 1:
+            raise ValueError(
+                f"bitstream mode={mode} is not an optimized-latent (mode=1) "
+                "stream; decode it with decompress()"
+            )
         n = packed.get_ints("batch")[0]
         xh, xw = packed.get_ints("x_shape")
         yh, yw = packed.get_ints("y_shape")
@@ -234,8 +286,13 @@ class HyperpriorCodec:
 
     def decompress(self, blob: bytes) -> np.ndarray:
         """Inverse of compress: bitstream -> float [N,H,W,3] reconstruction
-        (mbt2018.py:248-295)."""
+        (mbt2018.py:248-295). Optimized-latent streams (mode=1, written by
+        compress_optimized) carry integer-grid latents coded against
+        different tables; dispatch on the mode marker so they are never
+        silently mis-decoded against the median-grid table."""
         packed = PackedBitstream.unpack(blob)
+        if packed.has_ints("mode") and packed.get_ints("mode")[0] == 1:
+            return self.decompress_optimized(blob)
         n = packed.get_ints("batch")[0]
         xh, xw = packed.get_ints("x_shape")
         yh, yw = packed.get_ints("y_shape")

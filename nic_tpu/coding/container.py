@@ -37,6 +37,9 @@ class PackedBitstream:
     def get_ints(self, name: str) -> List[int]:
         return self._ints[name]
 
+    def has_ints(self, name: str) -> bool:
+        return name in self._ints
+
     # ------------------------------------------------------------------ io
 
     def pack(self) -> bytes:

@@ -127,15 +127,18 @@ def _rd_loss(model, params, latents, x, lmbda, temperature, rng, method: str,
     return loss, dict(mse=mse, bpp=train_bpp)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _quantize_transmitted(model, params, latents: Latents, method: str) -> Latents:
+@partial(jax.jit, static_argnums=(0, 3, 5))
+def _quantize_transmitted(model, params, latents: Latents, method: str,
+                          rng=None, unoise_mu_source: str = "quantized_z") -> Latents:
     """The latents each method actually transmits.
 
     sga/ste/danneal: plain rounding (sga.py:240-241, ste.py:201-202,
     danneal.py:237-238). map: median-centered z, mean-centered y with the
     mean from *continuous* z (map.py:85-100, 178,201). unoise: same
-    quantizers but with the mean from the quantized z (unoise.py:82,97; the
-    reference samples a noisy z for this mean — we use the decodable choice).
+    quantizers; the y-quantizing mean comes from the quantized z by default
+    (decodable — a deliberate deviation) or, with
+    unoise_mu_source="noisy_z", from a fresh noisy z sample exactly as the
+    reference does (unoise.py:81-82,97: mu = h_s(z + U(-.5,.5))).
     """
     if method in ("sga", "ste", "danneal"):
         return Latents(y=jnp.round(latents.y), z=jnp.round(latents.z))
@@ -144,7 +147,12 @@ def _quantize_transmitted(model, params, latents: Latents, method: str) -> Laten
     if method == "map":
         mu_src = latents.z
     elif method == "unoise":
-        mu_src = z_hat
+        if unoise_mu_source == "noisy_z":
+            mu_src = latents.z + jax.random.uniform(
+                rng, latents.z.shape, latents.z.dtype, -0.5, 0.5
+            )
+        else:
+            mu_src = z_hat
     else:
         raise ValueError(method)
     mu, _ = model.apply(
@@ -179,9 +187,10 @@ class _Carry(NamedTuple):
 
 def _init_carry(latents0: Latents, rng) -> _Carry:
     return _Carry(
-        latents=latents0,
-        # Distinct buffers from `latents`: the donating chunk runner may not
-        # receive the same buffer in two arguments.
+        # Copy: the donating chunk runner consumes the carry's buffers, and
+        # latents0 may be caller-owned (e.g. y0/z0 passed into
+        # _run_optimization); a one-time copy keeps donation safe for them.
+        latents=jax.tree.map(jnp.copy, latents0),
         adam=adam_init(latents0),
         rng=rng,
         it=jnp.zeros((), jnp.int32),
@@ -421,8 +430,13 @@ class LatentOptimizer:
     def _place(self, x):
         if self.mesh is None:
             return x
-        from nic_tpu.parallel.mesh import batch_sharding
+        from nic_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
+        if x.shape[0] % self.mesh.size:
+            # Remainder batches (batch not divisible by the mesh) run
+            # replicated — correct, just not parallel; only the final
+            # partial batch of an eval sweep hits this.
+            return jax.device_put(x, replicated_sharding(self.mesh))
         return jax.device_put(x, batch_sharding(self.mesh))
 
     def amortized_init(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -449,8 +463,16 @@ class LatentOptimizer:
         elsewhere) — the reference's --verbose probes (sga.py:218-233).
         """
         x = self._place(jnp.asarray(x, jnp.float32))
+        if method.distortion == "msssim" and min(x.shape[1], x.shape[2]) < 176:
+            raise ValueError(
+                "msssim optimization objective needs images >= 176px on the "
+                f"short side (5 scales x 11-tap window); got {x.shape[1:3]}."
+            )
         if rng is None:
             rng = jax.random.PRNGKey(seed)
+        # Derived before the optimization loop: the loop's donating chunks
+        # consume the rng buffer.
+        transmit_key = jax.random.fold_in(rng, 0x7A31)
         y0, z0 = _amortized_init(self.model, self.params, x)
         latents, losses, probes = _run_optimization(
             self.model, self.params, x, jnp.float32(lmbda), rng, method, y0, z0,
@@ -458,7 +480,11 @@ class LatentOptimizer:
             donate=donate,
         )
         transmitted = _quantize_transmitted(
-            self.model, self.params, latents, method.name
+            self.model, self.params, latents, method.name,
+            # Fresh key for the reference-parity unoise transmit sample (the
+            # reference's final sess.run draws new graph noise,
+            # unoise.py:195); unused by every other path.
+            transmit_key, method.unoise_mu_source,
         )
         compute_msssim = min(x.shape[1], x.shape[2]) >= 176
         metrics = _eval_transmitted(

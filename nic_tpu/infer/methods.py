@@ -26,6 +26,12 @@ class MethodSpec:
     # only choice) or "msssim" (lmbda * (1 - MS-SSIM) + bpp) for models
     # trained with --distortion msssim. Batch engine only; images >= 176px.
     distortion: str = "mse"
+    # unoise only: where the Gaussian mean used to quantize the transmitted
+    # y comes from. "quantized_z" (default): mu = h_s(round(z)) — decodable,
+    # a deliberate deviation. "noisy_z": mu = h_s(z + U(-.5,.5)), the
+    # reference's exact A3 semantics (unoise.py:82,97) — the decoder cannot
+    # reproduce this mean, so these streams are estimate-only.
+    unoise_mu_source: str = "quantized_z"
 
     def replace(self, **kw) -> "MethodSpec":
         from dataclasses import replace as _replace

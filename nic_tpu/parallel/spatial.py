@@ -33,6 +33,7 @@ Per optimization step the cross-chip traffic is two y-level halo exchanges
 scalars — all riding ICI, never the host.
 """
 
+import math
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -491,9 +492,8 @@ class SpatialLatentOptimizer:
         def up(v, m):
             return v + (-v) % m
 
-        Hp = max(up(H, 64), up(H, 16 * n), 32 * n)
-        while Hp % 64 or Hp % (16 * n):
-            Hp += 16 * n
+        m = math.lcm(64, 16 * n)
+        Hp = max(up(H, m), up(32 * n, m))
         Wp = up(W, 64)
         if (Hp, Wp) != (H, W):
             x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
@@ -507,6 +507,7 @@ class SpatialLatentOptimizer:
         method: MethodSpec = SGA,
         seed: int = 0,
         chunk_size: int = 200,
+        probe_every: int = 0,
     ) -> Dict[str, Any]:
         if method.distortion != "mse":
             raise ValueError(
@@ -514,9 +515,42 @@ class SpatialLatentOptimizer:
                 f"(got distortion={method.distortion!r}); use the batch "
                 "LatentOptimizer for msssim."
             )
+        if probe_every:
+            raise NotImplementedError(
+                "rounded-objective probes (probe_every > 0) are not "
+                "supported in the spatial model-parallel path; use the "
+                "batch LatentOptimizer for --verbose probes."
+            )
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 3:
             x = x[None]
+        if x.shape[0] > 1:
+            # Multi-image input: the spatial path shards one image's rows
+            # across the whole mesh, so process images sequentially (bounded
+            # memory — the design intent is single LARGE images) and present
+            # the batch engine's result surface: per-image metric arrays and
+            # batch-mean per-iteration losses.
+            outs = [
+                self.optimize(
+                    img[None], lmbda, method=method, seed=seed,
+                    chunk_size=chunk_size,
+                )
+                for img in x
+            ]
+            combined: Dict[str, Any] = {}
+            for k in outs[0]:
+                parts = [o[k] for o in outs]
+                if k in ("losses", "rounded_losses"):
+                    combined[k] = (
+                        np.mean(np.stack(parts), axis=0)
+                        if parts[0].size
+                        else parts[0]
+                    )
+                else:
+                    combined[k] = np.concatenate(
+                        [np.atleast_1d(p) for p in parts]
+                    )
+            return combined
         x, (orig_h, orig_w) = self._pad_to_grid(x)
         self._check(x.shape[1], x.shape[2])
         num_pixels = x.shape[1] * x.shape[2]
@@ -575,6 +609,7 @@ class SpatialLatentOptimizer:
             y=np.asarray(yq),
             z=np.asarray(zq),
             losses=np.asarray(jnp.concatenate(losses)),
+            rounded_losses=np.zeros((0,), np.float32),
             **{k: np.asarray(v) for k, v in metrics.items()},
         )
 

@@ -116,10 +116,20 @@ class Trainer:
                 f"window); got {cfg.patchsize}"
             )
         # The data axis cannot exceed the batch size and must divide it.
-        n = cfg.num_devices or default_device_count()
-        n = min(n, cfg.batchsize)
+        requested = cfg.num_devices or default_device_count()
+        n = min(requested, cfg.batchsize)
         while cfg.batchsize % n:
             n -= 1
+        if n < requested:
+            import warnings
+
+            warnings.warn(
+                f"data mesh shrunk from {requested} to {n} device(s) so the "
+                f"batch size {cfg.batchsize} divides evenly; "
+                f"{requested - n} device(s) will idle. Pick a batchsize "
+                f"divisible by {requested} to use the full mesh.",
+                stacklevel=2,
+            )
         self.mesh = data_mesh(n)
         if cfg.model == "mbt2018":
             self.model = MeanScaleHyperprior(num_filters=cfg.num_filters)

@@ -154,6 +154,55 @@ class TestCLI:
         )
         assert os.path.getsize(out) > 0
 
+    def test_sga_decompress_cli_roundtrip(self, workspace):
+        """sga compress -> sga decompress (mode=1 bitstream): the CLI decode
+        path must match decompress_optimized bit-for-bit, and feeding the
+        optimized stream to the amortized decoder must NOT silently
+        mis-decode (codec.py mode dispatch)."""
+        from nic_tpu.cli.main import _load_params
+        from nic_tpu.coding.codec import HyperpriorCodec
+
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        out = str(workspace / "sga_rt.ntc")
+        main(
+            _common(
+                workspace,
+                "sga",
+                "compress",
+                "--results_dir",
+                str(workspace / "results_sga_rt"),
+                "--sga_its",
+                "8",
+                runname,
+                str(workspace / "test.png"),
+                out,
+            )
+        )
+        out_png = str(workspace / "sga_rt.png")
+        main(_common(workspace, "sga", "decompress", runname, out, out_png))
+        recon = np.asarray(Image.open(out_png))
+        assert recon.shape == (64, 64, 3)
+
+        class _A:
+            num_filters, checkpoint_dir = 4, str(workspace / "ckpt")
+            runname = "mbt2018-num_filters=4-lmbda=0.01"
+
+        model, params = _load_params(_A, "mbt2018")
+        codec = HyperpriorCodec(model, params)
+        with open(out, "rb") as f:
+            blob = f.read()
+        ref = codec.decompress_optimized(blob)
+        ref_png = np.round(np.clip(ref[0], 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(recon, ref_png)
+        # decompress() dispatches on the mode marker -> identical result.
+        np.testing.assert_array_equal(codec.decompress(blob), ref)
+        # And an amortized (mode=0) stream is rejected by the optimized
+        # decoder instead of mis-decoding.
+        x = np.asarray(Image.open(workspace / "test.png"), np.float32) / 255.0
+        blob0, _ = codec.compress(x[None])
+        with pytest.raises(ValueError, match="mode"):
+            codec.decompress_optimized(blob0)
+
     def test_bb_compress_decompress_roundtrip(self, workspace):
         """bb_sga compress writes a real optimized-posterior bitstream;
         decompress recovers the image and the borrowed initial bits."""

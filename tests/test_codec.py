@@ -92,6 +92,41 @@ class TestOptimizedLatentCoding:
         assert actual_bits < est_bits * 1.4 + 8 * 250
 
 
+class TestModeDispatch:
+    """mode-marker handling: optimized streams must never be silently
+    mis-decoded against the amortized (median-grid) tables."""
+
+    def test_decompress_dispatches_on_mode(self, codec, image):
+        from nic_tpu.infer import SGA, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=10))
+        blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
+        np.testing.assert_array_equal(
+            codec.decompress(blob), codec.decompress_optimized(blob)
+        )
+
+    def test_decompress_optimized_rejects_amortized_stream(self, codec, image):
+        blob, _ = codec.compress(image)
+        with pytest.raises(ValueError, match="mode"):
+            codec.decompress_optimized(blob)
+
+
+class TestUnoiseLatentCoding:
+    def test_compress_latents_roundtrip(self, codec, image):
+        """unoise transmitted latents (median/mean-centered quantization,
+        quantized_z mean) code exactly into the amortized scheme and decode
+        with plain decompress()."""
+        from nic_tpu.infer import UNOISE, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=UNOISE.replace(iterations=10))
+        blob = codec.compress_latents(res["y"], res["z"], image.shape[1:3])
+        x_hat = codec.decompress(blob)
+        expected = np.clip(np.asarray(res["x_tilde"]), 0.0, 1.0)
+        np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+
+
 class TestParallelStreams:
     def test_parallel_compress_decompress(self, codec, image):
         blob_p, out = codec.compress(image, parallel=True)

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# 1500 training steps + five 300-it optimizations on CPU: minutes, not
+# seconds. Deselected by default (pyproject addopts); run with -m slow.
+pytestmark = pytest.mark.slow
+
 from nic_tpu.infer import (
     BB_PLAIN,
     DANNEAL,

@@ -99,6 +99,25 @@ class TestLatentOptimizer:
         # integers in general.
         assert np.all(np.isfinite(res["y"]))
 
+    def test_unoise_noisy_z_parity_mode(self, opt, image):
+        """unoise_mu_source='noisy_z' reproduces the reference's A3
+        transmitted-mean semantics (unoise.py:82,97): a fresh noisy-z mean,
+        different from the decodable quantized-z default but with identical
+        optimization trajectory (the switch only affects the transmit step)."""
+        dec = opt.optimize(
+            image, lmbda=0.01, method=UNOISE.replace(iterations=20), seed=0
+        )
+        ref = opt.optimize(
+            image, lmbda=0.01,
+            method=UNOISE.replace(iterations=20, unoise_mu_source="noisy_z"),
+            seed=0,
+        )
+        # Same optimization path (losses identical), different transmit mean.
+        np.testing.assert_allclose(ref["losses"], dec["losses"], rtol=1e-6)
+        np.testing.assert_array_equal(ref["z"], dec["z"])
+        assert not np.array_equal(ref["y"], dec["y"])
+        assert np.all(np.isfinite(ref["est_bpp"]))
+
     def test_map_early_stop(self, opt, image):
         res = opt.optimize(image, lmbda=0.01, method=MAP.replace(iterations=200))
         assert np.all(np.isfinite(res["est_bpp"]))
