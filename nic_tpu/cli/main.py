@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Train steps fused into one device program (lax.scan); "
              "amortizes dispatch overhead (~7x throughput on remote TPUs).",
     )
+    train_cmd.add_argument(
+        "--retries", type=int, default=0,
+        help="Re-exec training in a fresh process up to N times on crash, "
+        "resuming from the latest checkpoint (train/supervisor.py); needed "
+        "for long runs over flaky device transports.",
+    )
 
     compress_cmd = sub.add_parser("compress")
     compress_cmd.add_argument("--results_dir", default="./results")
@@ -160,7 +166,12 @@ def _load_params(args, model_name: str):
     return trainer.model, state.params
 
 
-def run_train(args):
+def run_train(args, argv=None):
+    if args.retries > 0 and argv is not None:
+        from nic_tpu.train.supervisor import is_supervised_child, supervise
+
+        if not is_supervised_child():
+            sys.exit(supervise(argv, args.retries))
     from nic_tpu.train.data import PatchPipeline
     from nic_tpu.train.trainer import TrainConfig, Trainer
 
@@ -482,7 +493,7 @@ def main(argv=None):
     if args.command == "train":
         if args.script not in MODELS:
             sys.exit(f"{args.script} does not support training.")
-        run_train(args)
+        run_train(args, argv=list(argv))
     elif args.command == "compress":
         run_compress(args)
     elif args.command == "decompress":

@@ -1,11 +1,18 @@
 """Generate a synthetic natural-image-like corpus for RD validation runs.
 
 No image dataset ships in this environment (zero egress), so RD-curve
-*shape* validation uses Gaussian-random-field images with a 1/f^alpha power
-spectrum (the classic natural-image statistic) composited with random
-smooth-shaded rectangles/ellipses for edges. These are compressible and
-non-trivial: a hyperprior model trained on them shows the same qualitative
-method ordering (SGA > STE/MAP/... > amortized) as on photos.
+validation uses synthetic images engineered toward photographic statistics:
+
+  v1 (--style grf): Gaussian-random-field images with a 1/f^alpha power
+  spectrum composited with smooth-shaded rectangles/ellipses for edges.
+  v2 (--style photo, default): adds the structures photos have beyond the
+  power spectrum — oriented band-pass textures (Gabor-like, masked into
+  regions), multi-scale occluders (large objects down to small detail,
+  scale count ~ log of image size), polygonal shapes, a global illumination
+  gradient, and fine sensor-like grain. Kurtotic wavelet marginals and
+  piecewise-smooth regions are the statistics hyperprior models exploit on
+  photos; matching them tightens the absolute-RD comparison against the
+  paper's Kodak curves (VERDICT r1 item 1).
 
 Usage: python scripts/make_synthetic_corpus.py OUTDIR [--train N] [--eval M]
 Writes OUTDIR/train/img_*.png (256x256) and OUTDIR/eval.npy ([M,256,384,3]).
@@ -56,25 +63,117 @@ def synth_image(rng, h, w):
     return (img * 255).astype(np.uint8)
 
 
+def oriented_texture(rng, h, w):
+    """Band-pass oriented noise (Gabor-like): white noise filtered by an
+    annular Fourier mask with an orientation-selective angular window."""
+    f0 = rng.uniform(0.04, 0.25)       # center frequency (cycles/px)
+    bw = f0 * rng.uniform(0.4, 1.0)    # radial bandwidth
+    theta0 = rng.uniform(0, np.pi)
+    ang_bw = rng.uniform(0.3, 1.2)     # angular bandwidth (radians)
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    f = np.sqrt(fy * fy + fx * fx)
+    theta = np.arctan2(fy, fx)
+    d_theta = np.angle(np.exp(2j * (theta - theta0))) / 2.0  # pi-periodic
+    mask = np.exp(-0.5 * ((f - f0) / bw) ** 2) * np.exp(
+        -0.5 * (d_theta / ang_bw) ** 2
+    )
+    spec = mask * (rng.standard_normal((h, w)) + 1j * rng.standard_normal((h, w)))
+    tex = np.fft.ifft2(spec).real
+    s = tex.std() + 1e-9
+    return tex / s
+
+
+def region_mask(rng, yy, xx, h, w, scale):
+    """Random ellipse / rectangle / convex polygon at a given scale."""
+    cy, cx = rng.integers(0, h), rng.integers(0, w)
+    ry = max(2, int(rng.uniform(0.5, 1.5) * scale))
+    rx = max(2, int(rng.uniform(0.5, 1.5) * scale))
+    kind = rng.random()
+    if kind < 0.4:
+        return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+    if kind < 0.7:
+        return (np.abs(yy - cy) < ry) & (np.abs(xx - cx) < rx)
+    # Convex polygon: intersection of random half-planes around the center.
+    mask = np.ones((h, w), bool)
+    for _ in range(rng.integers(3, 6)):
+        phi = rng.uniform(0, 2 * np.pi)
+        d = rng.uniform(0.5, 1.0) * (ry + rx) / 2
+        mask &= (np.cos(phi) * (yy - cy) + np.sin(phi) * (xx - cx)) < d
+    return mask
+
+
+def synth_image_photo(rng, h, w):
+    """Photographic-statistics image: 1/f base + multi-scale piecewise-
+    smooth occluders + oriented textures + illumination + grain."""
+    alpha = rng.uniform(1.6, 2.4)
+    luma = grf(rng, h, w, alpha)
+    img = np.stack([luma] * 3, axis=-1)
+    for c in range(3):
+        img[..., c] = np.clip(
+            img[..., c] + 0.2 * (grf(rng, h, w, alpha) - 0.5), 0, 1
+        )
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    # Multi-scale occluders: a few large objects, more at each finer scale.
+    n_scales = max(2, int(np.log2(min(h, w))) - 4)  # 256 -> 4 scales
+    for s in range(n_scales):
+        scale = min(h, w) // (3 * 2 ** s)
+        if scale < 3:
+            break
+        for _ in range(rng.integers(1, 3) * 2 ** s):
+            mask = region_mask(rng, yy, xx, h, w, scale)
+            color = rng.random(3)
+            shade = 0.6 + 0.4 * grf(rng, h, w, 2.0)
+            blend = rng.uniform(0.65, 1.0)  # partial opacity ~ soft edges
+            for c in range(3):
+                img[..., c] = np.where(
+                    mask,
+                    blend * color[c] * shade + (1 - blend) * img[..., c],
+                    img[..., c],
+                )
+
+    # Oriented textures masked into 1-3 regions (fabric/grass/wood analogs).
+    for _ in range(rng.integers(1, 4)):
+        tex = oriented_texture(rng, h, w)
+        tmask = region_mask(rng, yy, xx, h, w, min(h, w) // rng.integers(2, 5))
+        amp = rng.uniform(0.03, 0.12)
+        for c in range(3):
+            img[..., c] = np.where(
+                tmask, np.clip(img[..., c] + amp * tex, 0, 1), img[..., c]
+            )
+
+    # Global illumination gradient (vignette/directional light).
+    gy, gx = rng.uniform(-1, 1, 2)
+    illum = 1.0 + 0.25 * (gy * (yy / h - 0.5) + gx * (xx / w - 0.5))
+    img *= illum[..., None]
+
+    # Fine sensor-like grain (keeps the high-frequency tail realistic).
+    img += rng.normal(0, rng.uniform(0.002, 0.008), img.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--train", type=int, default=400)
     ap.add_argument("--eval", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--style", choices=("photo", "grf"), default="photo")
     args = ap.parse_args()
 
     from PIL import Image
 
+    gen = synth_image_photo if args.style == "photo" else synth_image
     rng = np.random.default_rng(args.seed)
     train_dir = os.path.join(args.outdir, "train")
     os.makedirs(train_dir, exist_ok=True)
     for i in range(args.train):
-        Image.fromarray(synth_image(rng, 256, 256)).save(
+        Image.fromarray(gen(rng, 256, 256)).save(
             os.path.join(train_dir, f"img_{i:04d}.png")
         )
     evals = np.stack(
-        [synth_image(rng, 256, 384) for _ in range(args.eval)]
+        [gen(rng, 256, 384) for _ in range(args.eval)]
     )
     np.save(os.path.join(args.outdir, "eval.npy"), evals)
     print(f"wrote {args.train} train pngs + eval.npy {evals.shape}")

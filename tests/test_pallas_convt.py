@@ -1,0 +1,89 @@
+"""Fused conv_transpose+IGDN Pallas kernel: element-exactness vs the XLA
+composite (interpret mode on CPU; the real-TPU A/B lives in
+scripts/exp_fused_convt.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nic_tpu.ops.pallas_convt import (
+    conv_transpose_igdn_up2,
+    conv_transpose_igdn_up2_reference,
+    phase_weight_mats,
+)
+
+
+@pytest.fixture
+def params(rng):
+    c, co = 8, 8
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((5, 5, c, co)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(co) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.uniform(0.5, 1.5, co), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.0, 0.2, (co, co)), jnp.float32)
+    return x, w, bias, beta, gamma
+
+
+class TestFusedConvTransposeIGDN:
+    def test_phase_weight_mats_shapes(self, params):
+        _, w, *_ = params
+        mats = phase_weight_mats(w)
+        taps = [m.shape[0] // w.shape[2] for m in mats]
+        # Phases (0,0)/(0,1)/(1,0)/(1,1) have 2x2/2x3/3x2/3x3 live taps.
+        assert taps == [4, 6, 6, 9]
+        assert sum(taps) == 25
+
+    @pytest.mark.parametrize("inverse", [True, False])
+    def test_matches_reference(self, params, inverse):
+        x, w, bias, beta, gamma = params
+        ref = conv_transpose_igdn_up2_reference(
+            x, w, bias, beta, gamma, inverse=inverse
+        )
+        got = conv_transpose_igdn_up2(
+            x, w, bias, beta, gamma, inverse=inverse, row_tile=4,
+            interpret=True,
+        )
+        assert got.shape == ref.shape == (2, 24, 32, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_non_tile_aligned_size(self, params):
+        x, w, bias, beta, gamma = params
+        x = x[:, :10, :13]  # not multiples of the tile
+        ref = conv_transpose_igdn_up2_reference(x, w, bias, beta, gamma)
+        got = conv_transpose_igdn_up2(
+            x, w, bias, beta, gamma, row_tile=4, interpret=True
+        )
+        assert got.shape == (2, 20, 26, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_custom_vjp_backward_matches_composite(self, params):
+        from nic_tpu.ops.pallas_convt import fused_synthesis_layer
+
+        x, w, bias, beta, gamma = params
+
+        def loss_fused(xx):
+            # interpret-mode forward via the public wrapper
+            y = conv_transpose_igdn_up2(
+                xx, w, bias, beta, gamma, row_tile=4, interpret=True
+            )
+            return jnp.sum(jnp.square(y))
+
+        def loss_ref(xx):
+            y = conv_transpose_igdn_up2_reference(xx, w, bias, beta, gamma)
+            return jnp.sum(jnp.square(y))
+
+        # The VJP rule routes backward through the composite; compare the
+        # composite's own gradient to finite-ish agreement with the fused
+        # forward's implied gradient (identical math => identical grads).
+        g_ref = jax.grad(loss_ref)(x)
+        _, vjp = jax.vjp(
+            lambda xx: conv_transpose_igdn_up2_reference(xx, w, bias, beta, gamma), x
+        )
+        y = conv_transpose_igdn_up2(x, w, bias, beta, gamma, row_tile=4,
+                                    interpret=True)
+        (g_fused,) = vjp(2.0 * y)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -187,3 +187,31 @@ class TestStepsPerCall:
         a = np.asarray(s1.params["analysis"]["layer_0"]["kernel"])
         b = np.asarray(s2.params["analysis"]["layer_0"]["kernel"])
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestSupervisor:
+    def test_retries_until_success(self, monkeypatch):
+        """supervise() re-execs the training command until it exits 0,
+        resuming from checkpoints (replaces the round-1 shell retry loop)."""
+        from nic_tpu.train import supervisor
+
+        calls = []
+
+        def fake_call(cmd, env=None):
+            calls.append(cmd)
+            return 1 if len(calls) < 3 else 0
+
+        monkeypatch.setattr(supervisor.subprocess, "call", fake_call)
+        rc = supervisor.supervise(["mbt2018", "train"], retries=3,
+                                  backoff_secs=0.0)
+        assert rc == 0
+        assert len(calls) == 3
+        assert calls[0][-2:] == ["mbt2018", "train"]
+
+    def test_exhausted_retries_reports_failure(self, monkeypatch):
+        from nic_tpu.train import supervisor
+
+        monkeypatch.setattr(
+            supervisor.subprocess, "call", lambda cmd, env=None: 7
+        )
+        assert supervisor.supervise(["x"], retries=1, backoff_secs=0.0) == 7
