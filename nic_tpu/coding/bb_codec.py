@@ -171,52 +171,72 @@ class BitsBackCodec:
     # -------------------------------------------------------------- encode
 
     def compress(self, x: np.ndarray, seed: int = 0) -> Tuple[bytes, Dict[str, Any]]:
-        """One bitstream per call (whole batch). Returns (bytes, info)."""
+        """One bitstream per call (whole batch), images CHAINED on one rANS
+        stack (standard BB-ANS dataset chaining): image i's posterior pop
+        consumes the prior-pushed bits of image i-1, so only the FIRST
+        image draws real initial bits (~H(q) of one image instead of the
+        whole batch) — actual_bpp converges to the ELBO estimate as the
+        batch grows. The decoder unwinds in reverse image order (LIFO) and
+        must recover the initial bits exactly (integrity check).
+        Returns (bytes, info)."""
         x = jnp.asarray(x, jnp.float32)
         y_star, z_mean, z_logvar = _encode_pass(self.model, self.params, x)
         y_star_np = np.asarray(jax.device_get(y_star))
-        z_shape = jax.device_get(z_mean).shape
+        z_mean = np.asarray(jax.device_get(z_mean))
+        z_logvar = np.asarray(jax.device_get(z_logvar))
+        z_shape = z_mean.shape
+        batch = z_shape[0]
+        img_elems = int(np.prod(z_shape[1:]))
 
-        q_cdfs, q_sizes = self.q_tables(jax.device_get(z_mean), jax.device_get(z_logvar))
         p_cdfs, p_sizes = self.p_table()
-        n_elem = int(np.prod(z_shape))
-
-        # Bits-back: pop the posterior "sample" from a stack seeded with
-        # initial bits trimmed to the measured consumption (~H(q)).
-        q_rows = np.arange(n_elem, dtype=np.int32)
-        stack, z_bins, init_len, init_total = self._seeded_stack(
-            seed, n_elem, q_rows, q_cdfs, q_sizes
-        )
-        z_tilde = jnp.asarray(self._grid_centers(z_bins).reshape(z_shape))
-
-        # y payload under p(y | z_tilde).
-        y_hw = (y_star_np.shape[1], y_star_np.shape[2])
-        mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, y_hw)
-        y_sym = (y_star_np - np.round(np.asarray(jax.device_get(mu)))).astype(np.int32)
-        y_rows = np.asarray(jax.device_get(y_rows))
-        yt = self.y_table()
-        y_stream = self.coder.encode(
-            y_sym - yt.offsets[y_rows], y_rows, yt.cdfs, yt.cdf_sizes
-        )
-
-        # Push the bins under the prior: the stack becomes the z stream.
-        channels = z_shape[-1]
+        q_rows = np.arange(img_elems, dtype=np.int32)
         p_rows = np.broadcast_to(
-            np.arange(channels, dtype=np.int32), z_shape
+            np.arange(z_shape[-1], dtype=np.int32), z_shape[1:]
         ).reshape(-1)
-        stack.push(z_bins, p_rows, p_cdfs, p_sizes)
+
+        yt = self.y_table()
+        y_streams = []
+        stack = None
+        init_len = init_total = 0
+        for i in range(batch):
+            q_cdfs, q_sizes = self.q_tables(z_mean[i], z_logvar[i])
+            if stack is None:
+                # Only the first image draws initial bits (trimmed).
+                stack, z_bins, init_len, init_total = self._seeded_stack(
+                    seed, img_elems, q_rows, q_cdfs, q_sizes
+                )
+            else:
+                z_bins = stack.pop(q_rows, q_cdfs, q_sizes)
+            z_tilde = jnp.asarray(
+                self._grid_centers(z_bins).reshape((1,) + z_shape[1:])
+            )
+            y_hw = (y_star_np.shape[1], y_star_np.shape[2])
+            mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, y_hw)
+            y_sym = (
+                y_star_np[i : i + 1]
+                - np.round(np.asarray(jax.device_get(mu)))
+            ).astype(np.int32)
+            y_rows = np.asarray(jax.device_get(y_rows))
+            y_streams.append(
+                self.coder.encode(
+                    y_sym - yt.offsets[y_rows], y_rows, yt.cdfs, yt.cdf_sizes
+                )
+            )
+            stack.push(z_bins, p_rows, p_cdfs, p_sizes)
         z_stream = stack.serialize()
 
         packed = PackedBitstream()
-        packed.add_stream("string", y_stream)
+        packed.add_stream("string", b"".join(y_streams))
+        packed.add_ints("string_sizes", [len(s) for s in y_streams])
         packed.add_stream("z_stack", z_stream)
         packed.add_ints("x_shape", x.shape[1:3])
         packed.add_ints("y_shape", y_star_np.shape[1:3])
         packed.add_ints("z_shape", z_shape[1:3])
-        packed.add_ints("batch", [x.shape[0]])
+        packed.add_ints("batch", [batch])
         packed.add_ints("seed", [seed])
         packed.add_ints("init_bits", [init_len])
         packed.add_ints("init_total", [init_total])
+        packed.add_ints("chained", [1])
         blob = packed.pack()
 
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
@@ -225,7 +245,7 @@ class BitsBackCodec:
             # The initial bits are recovered verbatim by the decoder, so the
             # net bits-back rate excludes them (they could carry other data).
             net_bpp=(len(blob) - init_len) * 8 / num_pixels,
-            y_stream_bytes=len(y_stream),
+            y_stream_bytes=sum(len(s) for s in y_streams),
             z_stack_bytes=len(z_stream),
             init_bytes=init_len,
         )
@@ -236,6 +256,8 @@ class BitsBackCodec:
     def decompress(self, blob: bytes) -> Tuple[np.ndarray, bool]:
         """Returns (x_hat, initial_bits_recovered)."""
         packed = PackedBitstream.unpack(blob)
+        if packed.has_ints("chained") and packed.get_ints("chained")[0]:
+            return self._decompress_chained(packed)
         n = packed.get_ints("batch")[0]
         xh, xw = packed.get_ints("x_shape")
         yh, yw = packed.get_ints("y_shape")
@@ -286,6 +308,64 @@ class BitsBackCodec:
             np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0))),
             bool(init_ok),
         )
+
+    def _decompress_chained(self, packed: PackedBitstream) -> Tuple[np.ndarray, bool]:
+        """Inverse of the chained compress(): images unwind in reverse
+        order off the single stack (pop under the prior, decode y, push the
+        bins back under the recomputed posterior), ending with the exact
+        initial bits of the first image."""
+        n = packed.get_ints("batch")[0]
+        xh, xw = packed.get_ints("x_shape")
+        yh, yw = packed.get_ints("y_shape")
+        zh, zw = packed.get_ints("z_shape")
+        seed = packed.get_ints("seed")[0]
+        init_len = packed.get_ints("init_bits")[0]
+        init_total = packed.get_ints("init_total")[0]
+        sizes = packed.get_ints("string_sizes")
+        c = self.model.num_filters
+        z_shape1 = (1, zh, zw, c)
+        img_elems = int(np.prod(z_shape1))
+
+        y_blob = packed.get_stream("string")
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+        y_streams = [y_blob[offs[i] : offs[i + 1]] for i in range(n)]
+
+        p_cdfs, p_sizes = self.p_table()
+        q_rows = np.arange(img_elems, dtype=np.int32)
+        p_rows = np.broadcast_to(
+            np.arange(c, dtype=np.int32), z_shape1[1:]
+        ).reshape(-1)
+        yt = self.y_table()
+
+        stack = RansStack.deserialize(packed.get_stream("z_stack"))
+        x_hats = [None] * n
+        for i in range(n - 1, -1, -1):
+            z_bins = stack.pop(p_rows, p_cdfs, p_sizes)
+            z_tilde = jnp.asarray(self._grid_centers(z_bins).reshape(z_shape1))
+            mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, (yh, yw))
+            y_rows = np.asarray(jax.device_get(y_rows))
+            y_rel = self.coder.decode(y_streams[i], y_rows, yt.cdfs, yt.cdf_sizes)
+            y_sym = yt.values_from_symbols(y_rel, y_rows)
+            y_star = jnp.asarray(y_sym, jnp.float32) + jnp.round(mu)
+            x_hats[i] = np.asarray(
+                jax.device_get(
+                    jnp.clip(
+                        _synthesize(self.model, self.params, y_star, (xh, xw)),
+                        0.0, 1.0,
+                    )
+                )
+            )
+            z_mean, z_logvar = self.model.apply(
+                {"params": self.params}, y_star, method=self.model.hyper_posterior
+            )
+            q_cdfs, q_sizes = self.q_tables(
+                jax.device_get(z_mean), jax.device_get(z_logvar)
+            )
+            stack.push(z_bins, q_rows, q_cdfs, q_sizes)
+
+        recovered = stack.serialize()
+        init_ok = recovered == self._expected_initial(seed, init_total, init_len)
+        return np.concatenate(x_hats, axis=0), bool(init_ok)
 
     # ------------------------------------- optimized (non-amortized) posterior
     #

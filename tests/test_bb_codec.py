@@ -130,6 +130,22 @@ class TestBitsBackCodec:
         _, init_ok = bb_codec.decompress(blob)
         assert init_ok
 
+    def test_chained_init_pays_one_image_only(self, bb_codec):
+        """Cross-image BB-ANS chaining: initial bits cover ONE image's
+        posterior pop; later images pop from earlier images' prior-pushed
+        bits. So init for a 4-image batch stays near the 1-image init."""
+        r = np.random.default_rng(9)
+        x1 = r.random((1, 64, 64, 3)).astype(np.float32)
+        x4 = np.concatenate([x1] + [r.random((1, 64, 64, 3)).astype(np.float32)
+                                    for _ in range(3)])
+        _, i1 = bb_codec.compress(x1, seed=3)
+        blob4, i4 = bb_codec.compress(x4, seed=3)
+        assert i4["init_bytes"] <= i1["init_bytes"] * 2, (
+            "chained batch init must not scale with batch size"
+        )
+        x_hat, ok = bb_codec.decompress(blob4)
+        assert ok and x_hat.shape == x4.shape
+
     def test_deterministic(self, bb_codec):
         x = np.random.default_rng(5).random((1, 64, 64, 3)).astype(np.float32)
         b1, _ = bb_codec.compress(x, seed=2)
