@@ -448,53 +448,70 @@ class BitsBackCodec:
             dl.reshape(-1) + self.DELTA_CLIP, rows, l_cdfs, l_sizes
         )
 
-        # Bits-back under the reconstructed posterior q_hat, initial bits
-        # trimmed to measured consumption.
-        q_cdfs, q_sizes = self.q_tables(z_mean_hat, z_logvar_hat)
+        # Bits-back under the reconstructed posterior q_hat: images chained
+        # on one stack (see compress()), initial bits trimmed to one
+        # image's measured pop consumption.
         p_cdfs, p_sizes = self.p_table()
-        q_rows = np.arange(n_elem, dtype=np.int32)
-        stack, z_bins, init_len, init_total = self._seeded_stack(
-            seed, n_elem, q_rows, q_cdfs, q_sizes
-        )
-        z_tilde = jnp.asarray(self._grid_centers(z_bins).reshape(z_shape))
-
-        y_hw = (y_star_np.shape[1], y_star_np.shape[2])
-        mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, y_hw)
-        y_sym = (y_star_np - np.round(np.asarray(jax.device_get(mu)))).astype(np.int32)
-        y_rows = np.asarray(jax.device_get(y_rows))
-        yt = self.y_table()
-        y_stream = self.coder.encode(
-            y_sym - yt.offsets[y_rows], y_rows, yt.cdfs, yt.cdf_sizes
-        )
-
-        channels = z_shape[-1]
+        batch = z_shape[0]
+        img_elems = int(np.prod(z_shape[1:]))
+        q_rows = np.arange(img_elems, dtype=np.int32)
         p_rows = np.broadcast_to(
-            np.arange(channels, dtype=np.int32), z_shape
+            np.arange(z_shape[-1], dtype=np.int32), z_shape[1:]
         ).reshape(-1)
-        stack.push(z_bins, p_rows, p_cdfs, p_sizes)
+        yt = self.y_table()
+        y_hw = (y_star_np.shape[1], y_star_np.shape[2])
+        y_streams = []
+        stack = None
+        init_len = init_total = 0
+        for i in range(batch):
+            q_cdfs, q_sizes = self.q_tables(z_mean_hat[i], z_logvar_hat[i])
+            if stack is None:
+                stack, z_bins, init_len, init_total = self._seeded_stack(
+                    seed, img_elems, q_rows, q_cdfs, q_sizes
+                )
+            else:
+                z_bins = stack.pop(q_rows, q_cdfs, q_sizes)
+            z_tilde = jnp.asarray(
+                self._grid_centers(z_bins).reshape((1,) + z_shape[1:])
+            )
+            mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, y_hw)
+            y_sym = (
+                y_star_np[i : i + 1]
+                - np.round(np.asarray(jax.device_get(mu)))
+            ).astype(np.int32)
+            y_rows = np.asarray(jax.device_get(y_rows))
+            y_streams.append(
+                self.coder.encode(
+                    y_sym - yt.offsets[y_rows], y_rows, yt.cdfs, yt.cdf_sizes
+                )
+            )
+            stack.push(z_bins, p_rows, p_cdfs, p_sizes)
         z_stream = stack.serialize()
 
         packed = PackedBitstream()
-        packed.add_stream("string", y_stream)
+        packed.add_stream("string", b"".join(y_streams))
+        packed.add_ints("string_sizes", [len(s) for s in y_streams])
         packed.add_stream("z_stack", z_stream)
         packed.add_stream("dm", dm_stream)
         packed.add_stream("dl", dl_stream)
         packed.add_ints("x_shape", x.shape[1:3])
         packed.add_ints("y_shape", y_star_np.shape[1:3])
         packed.add_ints("z_shape", z_shape[1:3])
-        packed.add_ints("batch", [x.shape[0]])
+        packed.add_ints("batch", [batch])
         packed.add_ints("seed", [seed])
         packed.add_ints("init_bits", [init_len])
         packed.add_ints("init_total", [init_total])
         packed.add_ints("post_delta", [sm_int, sl_int])
+        packed.add_ints("chained", [1])
         blob = packed.pack()
 
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        y_bytes = sum(len(s) for s in y_streams)
         info = dict(
             actual_bpp=len(blob) * 8 / num_pixels,
             net_bpp=(len(blob) - init_len) * 8 / num_pixels,
             delta_bpp=(len(dm_stream) + len(dl_stream)) * 8 / num_pixels,
-            y_stream_bytes=len(y_stream),
+            y_stream_bytes=y_bytes,
             z_stack_bytes=len(z_stream),
             dm_bytes=len(dm_stream),
             dl_bytes=len(dl_stream),
@@ -520,6 +537,11 @@ class BitsBackCodec:
         c = self.model.num_filters
         z_shape = (n, zh, zw, c)
         n_elem = int(np.prod(z_shape))
+        if packed.has_ints("chained") and packed.get_ints("chained")[0]:
+            return self._decompress_optimized_chained(
+                packed, n, (xh, xw), (yh, yw), z_shape, seed,
+                init_len, init_total, sm_int, sl_int,
+            )
 
         p_cdfs, p_sizes = self.p_table()
         stack = RansStack.deserialize(packed.get_stream("z_stack"))
@@ -568,3 +590,73 @@ class BitsBackCodec:
             np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0))),
             bool(recovered == expected),
         )
+
+    def _decompress_optimized_chained(self, packed, n, x_hw, y_hw, z_shape,
+                                      seed, init_len, init_total,
+                                      sm_int, sl_int):
+        """Reverse-order unwind of the chained optimized-posterior stream:
+        the delta streams decode up front (they are stack-independent);
+        each image then pops z under the prior, decodes its y, reconstructs
+        q_hat = amortized(y*) + delta, and pushes the bins back."""
+        c = z_shape[-1]
+        img_elems = int(np.prod(z_shape[1:]))
+        n_elem = int(np.prod(z_shape))
+        rows = np.zeros(n_elem, np.int32)
+        m_cdfs, m_sizes = self._laplace_table(sm_int)
+        l_cdfs, l_sizes = self._laplace_table(sl_int)
+        dm = (
+            self.coder.decode(packed.get_stream("dm"), rows, m_cdfs, m_sizes)
+            - self.DELTA_CLIP
+        ).reshape(z_shape)
+        dl = (
+            self.coder.decode(packed.get_stream("dl"), rows, l_cdfs, l_sizes)
+            - self.DELTA_CLIP
+        ).reshape(z_shape)
+
+        sizes = packed.get_ints("string_sizes")
+        y_blob = packed.get_stream("string")
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+        y_streams = [y_blob[offs[i] : offs[i + 1]] for i in range(n)]
+
+        p_cdfs, p_sizes = self.p_table()
+        q_rows = np.arange(img_elems, dtype=np.int32)
+        p_rows = np.broadcast_to(
+            np.arange(c, dtype=np.int32), z_shape[1:]
+        ).reshape(-1)
+        yt = self.y_table()
+        stack = RansStack.deserialize(packed.get_stream("z_stack"))
+        x_hats = [None] * n
+        dq = self.DELTA_Q
+        for i in range(n - 1, -1, -1):
+            z_bins = stack.pop(p_rows, p_cdfs, p_sizes)
+            z_tilde = jnp.asarray(
+                self._grid_centers(z_bins).reshape((1,) + z_shape[1:])
+            )
+            mu, _, y_rows = _mu_sigma(self.model, self.params, z_tilde, y_hw)
+            y_rows = np.asarray(jax.device_get(y_rows))
+            y_rel = self.coder.decode(y_streams[i], y_rows, yt.cdfs, yt.cdf_sizes)
+            y_sym = yt.values_from_symbols(y_rel, y_rows)
+            y_star = jnp.asarray(y_sym, jnp.float32) + jnp.round(mu)
+            x_hats[i] = np.asarray(
+                jax.device_get(
+                    jnp.clip(
+                        _synthesize(self.model, self.params, y_star, x_hw),
+                        0.0, 1.0,
+                    )
+                )
+            )
+            z_mean0, z_logvar0 = self.model.apply(
+                {"params": self.params}, y_star, method=self.model.hyper_posterior
+            )
+            z_mean_hat = (
+                np.asarray(jax.device_get(z_mean0), np.float64) + dm[i : i + 1] * dq
+            ).astype(np.float32)
+            z_logvar_hat = (
+                np.asarray(jax.device_get(z_logvar0), np.float64) + dl[i : i + 1] * dq
+            ).astype(np.float32)
+            q_cdfs, q_sizes = self.q_tables(z_mean_hat, z_logvar_hat)
+            stack.push(z_bins, q_rows, q_cdfs, q_sizes)
+
+        recovered = stack.serialize()
+        init_ok = recovered == self._expected_initial(seed, init_total, init_len)
+        return np.concatenate(x_hats, axis=0), bool(init_ok)
