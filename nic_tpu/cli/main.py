@@ -82,6 +82,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="Train steps fused into one device program (lax.scan); "
              "amortizes dispatch overhead (~7x throughput on remote TPUs).",
     )
+    # Multi-host (DCN) training: run the same command on every host with its
+    # process_id; jax.distributed forms the cluster and the same pjit DP path
+    # scales across hosts (parallel/mesh.py initialize_multihost).
+    train_cmd.add_argument("--coordinator_address", default=None)
+    train_cmd.add_argument("--num_processes", type=int, default=None)
+    train_cmd.add_argument("--process_id", type=int, default=None)
+    train_cmd.add_argument(
+        "--grad_clip", type=float, default=0.0,
+        help="Global-norm gradient clip (0 = off, matching the reference). "
+        "A generous value (e.g. 10) guards long runs against rare "
+        "GDN blow-up steps without touching normal updates. Changes the "
+        "optimizer state tree, so it cannot be flipped mid-run on an "
+        "existing checkpoint.",
+    )
     train_cmd.add_argument(
         "--retries", type=int, default=0,
         help="Re-exec training in a fresh process up to N times on crash, "
@@ -172,6 +186,14 @@ def run_train(args, argv=None):
 
         if not is_supervised_child():
             sys.exit(supervise(argv, args.retries))
+    if args.coordinator_address:
+        from nic_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     from nic_tpu.train.data import PatchPipeline
     from nic_tpu.train.trainer import TrainConfig, Trainer
 
@@ -188,12 +210,21 @@ def run_train(args, argv=None):
         save_summary_secs=args.save_summary_secs,
         logdir=args.logdir,
         steps_per_call=args.steps_per_call,
+        grad_clip=args.grad_clip,
     )
+    # Each host's pipeline feeds its local share of the global batch
+    # (Trainer.fit stitches shards via make_global_batch).
+    import jax
+
+    n_proc = jax.process_count()
+    if args.batchsize % n_proc:
+        sys.exit(f"--batchsize {args.batchsize} must divide by {n_proc} processes.")
     pipeline = PatchPipeline(
         args.train_glob,
-        batchsize=args.batchsize,
+        batchsize=args.batchsize // n_proc,
         patchsize=args.patchsize,
         num_threads=args.preprocess_threads,
+        seed=0 if n_proc == 1 else 1000 + jax.process_index(),
     )
     try:
         Trainer(tc).fit(pipeline, verbose=True)

@@ -59,6 +59,22 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_sharding(mesh))
 
 
+def make_global_batch(local_batch, mesh: Mesh, sharding: Optional[NamedSharding] = None):
+    """Assemble a globally-sharded batch from this process's local shard.
+
+    Single-process: a plain device_put with the batch sharding (the round-1
+    behavior, unchanged). Multi-process (DCN training sweeps): every host
+    passes its *local* slice of the global batch and JAX stitches them into
+    one global array laid out by ``sharding`` — the data-parallel analog of
+    each host's input pipeline feeding its own chips. The global batch axis
+    is ``local_batch.shape[axis] * process_count``.
+    """
+    sh = sharding if sharding is not None else batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sh)
+    return jax.make_array_from_process_local_data(sh, local_batch)
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -72,7 +88,9 @@ def initialize_multihost(
     scales across DCN with no further changes. No-op when already
     initialized or when running single-process.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not touch the XLA backend before jax.distributed.initialize
+    # (even jax.process_count() would initialize it), hence is_initialized().
+    if jax.distributed.is_initialized():
         return  # already initialized
     if coordinator_address is None:
         return  # single-process run

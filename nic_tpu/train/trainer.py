@@ -37,6 +37,7 @@ from nic_tpu.parallel.mesh import (
     batch_sharding,
     data_mesh,
     default_device_count,
+    make_global_batch,
     replicated_sharding,
 )
 from nic_tpu.train import checkpoint as ckpt_lib
@@ -55,6 +56,12 @@ class TrainConfig:
     last_step: int = 1_000_000
     main_lr: float = 1e-4
     aux_lr: float = 1e-3
+    # Optional global-norm gradient clip (0 = off, the reference's behavior,
+    # mbt2018.py:117-123 has no clipping). Long runs occasionally hit a
+    # GDN/synthesis blow-up step (observed: loss 3 -> 1045 in one step at
+    # step ~11k of an nf=192 run) that costs ~15k steps to recover from;
+    # a generous clip engages only on such spikes.
+    grad_clip: float = 0.0
     seed: int = 0
     checkpoint_dir: str = "./checkpoints"
     runname: Optional[str] = None
@@ -93,16 +100,22 @@ def _is_aux_param(path) -> bool:
     return any(getattr(p, "key", None) == "quantiles" for p in path)
 
 
-def make_optimizer(params, main_lr: float, aux_lr: float, dual: bool):
+def make_optimizer(
+    params, main_lr: float, aux_lr: float, dual: bool, grad_clip: float = 0.0
+):
     """Adam(main_lr) on model params (+ Adam(aux_lr) on quantiles if dual)."""
     if not dual:
-        return optax.adam(main_lr)
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: "aux" if _is_aux_param(path) else "main", params
-    )
-    return optax.multi_transform(
-        {"main": optax.adam(main_lr), "aux": optax.adam(aux_lr)}, labels
-    )
+        tx = optax.adam(main_lr)
+    else:
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "aux" if _is_aux_param(path) else "main", params
+        )
+        tx = optax.multi_transform(
+            {"main": optax.adam(main_lr), "aux": optax.adam(aux_lr)}, labels
+        )
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
 
 
 class Trainer:
@@ -151,7 +164,9 @@ class Trainer:
         x = jnp.zeros((1, self.cfg.patchsize, self.cfg.patchsize, 3), jnp.float32)
         variables = self.model.init(init_rng, x, training=True, rng=model_rng)
         params = variables["params"]
-        self._tx = make_optimizer(params, self.cfg.main_lr, self.cfg.aux_lr, self._dual)
+        self._tx = make_optimizer(
+            params, self.cfg.main_lr, self.cfg.aux_lr, self._dual, self.cfg.grad_clip
+        )
         opt_state = self._tx.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -260,14 +275,21 @@ class Trainer:
         from nic_tpu.train.summaries import SummaryWriter, ThroughputMeter
 
         cfg = self.cfg
+        # Multi-host (DCN) runs: every process executes the same loop over the
+        # global mesh; `data` yields each host's LOCAL share of the global
+        # batch (batchsize // process_count images) and make_global_batch
+        # stitches the shards. Host-side writes happen on process 0 only
+        # (the state is replicated, so its copy is authoritative).
+        is_writer = jax.process_index() == 0
         if state is None:
             state = self.restore_or_init()
-        self._write_metadata()
+        if is_writer:
+            self._write_metadata()
         step_fn = self.step_fn
         writer = SummaryWriter(
             os.path.join(self.save_dir, "metrics.jsonl"),
             logdir=os.path.join(cfg.logdir, cfg.resolved_runname()) if cfg.logdir else None,
-        )
+        ) if is_writer else None
         meter = ThroughputMeter()
         last_ckpt = time.time()
         last_log = 0.0
@@ -288,10 +310,10 @@ class Trainer:
             # tf_boilerplate.py:66): the final call shrinks to the remainder.
             this = min(k, cfg.last_step - step)
             if k == 1:
-                batch = jax.device_put(next(data), bsh)
+                batch = make_global_batch(next(data), self.mesh, bsh)
             else:
-                batch = jax.device_put(
-                    _np.stack([next(data) for _ in range(this)]), bsh
+                batch = make_global_batch(
+                    _np.stack([next(data) for _ in range(this)]), self.mesh, bsh
                 )
             state, metrics = step_fn(state, batch)
             step += this
@@ -305,17 +327,26 @@ class Trainer:
                     )
                 now = time.time()
                 rates = meter.rates()
-                if verbose and now - last_log >= 1.0:
+                if is_writer and verbose and now - last_log >= 1.0:
                     last_log = now
                     print(
                         f"step={step} loss={loss:.4f} bpp={float(metrics['bpp']):.4f} "
                         f"mse={float(metrics['mse']):.3f} "
                         f"({rates['images_per_sec']:.1f} img/s)"
                     )
-                writer.write(
-                    step, {**{k: float(v) for k, v in metrics.items()}, **rates}
-                )
-                if cfg.logdir and now - last_image_summary >= cfg.save_summary_secs:
+                if is_writer:
+                    writer.write(
+                        step, {**{k: float(v) for k, v in metrics.items()}, **rates}
+                    )
+                # Image summaries run a process-0-only eval forward, which
+                # would deadlock a multi-host mesh (every process must join
+                # SPMD computations) — skipped when process_count > 1.
+                if (
+                    is_writer
+                    and jax.process_count() == 1
+                    and cfg.logdir
+                    and now - last_image_summary >= cfg.save_summary_secs
+                ):
                     # original/reconstruction image summaries
                     # (tf_boilerplate.py:71-76): one eval forward per cadence.
                     img_batch = batch[-1] if k > 1 else batch
@@ -332,8 +363,9 @@ class Trainer:
                         },
                     )
                     last_image_summary = now
-                if now - last_ckpt >= cfg.save_checkpoint_secs:
+                if is_writer and now - last_ckpt >= cfg.save_checkpoint_secs:
                     ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
                     last_ckpt = now
-        ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
+        if is_writer:
+            ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
         return state

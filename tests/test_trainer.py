@@ -111,6 +111,27 @@ class TestTrainer:
         expected = cfg.lmbda * (1.0 - float(m["msssim"])) + float(m["bpp"])
         np.testing.assert_allclose(float(m["loss"]), expected, rtol=1e-4)
 
+    def test_grad_clip_bounds_update_norm(self, tmp_path):
+        # With a tiny clip the parameter update per step is bounded by
+        # lr * sqrt(n_params) (Adam normalizes per-coordinate, so the bound
+        # is loose); mainly: the clipped step must differ from the unclipped
+        # one and both must run under the same jit/sharding path.
+        cfg = make_cfg(tmp_path, num_devices=1, batchsize=2, patchsize=64)
+        cfg_clip = make_cfg(
+            tmp_path, num_devices=1, batchsize=2, patchsize=64, grad_clip=1e-6
+        )
+        batch = next(batches(cfg))
+        outs = {}
+        for name, c in [("plain", cfg), ("clip", cfg_clip)]:
+            t = Trainer(c)
+            state = t.init_state()
+            state, _ = t.step_fn(state, batch)
+            outs[name] = state.params
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), outs["plain"], outs["clip"]
+        )
+        assert max(jax.tree.leaves(diff)) > 0  # clipping changed the step
+
     def test_msssim_needs_large_patches(self, tmp_path):
         with pytest.raises(ValueError, match="patchsize"):
             Trainer(make_cfg(tmp_path, distortion="msssim", patchsize=64))
