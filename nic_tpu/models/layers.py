@@ -128,6 +128,11 @@ class SignalConv(nn.Module):
     # hyperprior shapes (0.110 vs 0.132 img/s SGA bench), so transpose
     # stays the default. Kept for other shapes/hardware.
     upsample_impl: str = "transpose"
+    # None (default) or 'int8': dynamically-quantized W8A8 forward on the
+    # MXU's 2x int8 path with bf16 STE backward (ops/int8conv.py). Only for
+    # frozen-weight inference loops; ignored for block_space / subpixel /
+    # phases variants.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, block_space_output: bool = False):
@@ -161,7 +166,15 @@ class SignalConv(nn.Module):
                 )
                 y4 = y4 + jnp.tile(b.astype(self.dtype), 4)
             return y4
-        if self.strides_up == 2 and self.upsample_impl == "phases":
+        if self.quant == "int8" and self.upsample_impl == "transpose":
+            from nic_tpu.ops.int8conv import int8_conv
+
+            if self.strides_up > 1:
+                y = int8_conv(x, w, self.strides_up, True)
+            else:
+                y = int8_conv(x, w, self.strides_down, False)
+            y = y.astype(self.dtype)
+        elif self.strides_up == 2 and self.upsample_impl == "phases":
             y = _conv_transpose_phases_up2(x, w)
         elif self.strides_up == 2 and self.upsample_impl == "subpixel":
             y4 = lax.conv_general_dilated(

@@ -50,6 +50,9 @@ class MeanScaleHyperprior(nn.Module):
     # 'transpose' (default) or 'phases'/'subpixel' (element-exact
     # alternatives; both measured SLOWER end-to-end on v5e — see layers.py).
     upsample_impl: str = "transpose"
+    # None or 'int8': dynamic W8A8 forward for the decode-side transforms
+    # (frozen-weight inference loops only; see ops/int8conv.py).
+    quant: Optional[str] = None
 
     def setup(self):
         n = self.num_filters
@@ -57,12 +60,12 @@ class MeanScaleHyperprior(nn.Module):
         self.analysis = AnalysisTransform(n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn)
         self.synthesis = SynthesisTransform(
             n, dtype=dt, use_pallas_gdn=self.use_pallas_gdn,
-            upsample_impl=self.upsample_impl,
+            upsample_impl=self.upsample_impl, quant=self.quant,
         )
         self.hyper_analysis = HyperAnalysisTransform(n, dtype=dt)
         self.hyper_synthesis = MBT2018HyperSynthesisTransform(
             n, num_output_filters=2 * n, dtype=dt,
-            upsample_impl=self.upsample_impl,
+            upsample_impl=self.upsample_impl, quant=self.quant,
         )
         self.entropy_bottleneck = FactorizedEntropyModel(channels=n)
         self.conditional = GaussianConditional()

@@ -47,13 +47,17 @@ class SynthesisTransform(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_gdn: bool = False
     upsample_impl: str = "transpose"
+    # None or 'int8': dynamic W8A8 forward for the three N->N upsampling
+    # layers (~95% of g_s FLOPs); the final 192->3 output layer stays bf16
+    # (negligible FLOPs, pixel-facing precision).
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, y, block_space: bool = False):
         for i in range(3):
             y = SignalConv(self.num_filters, (5, 5), strides_up=2,
                            dtype=self.dtype, upsample_impl=self.upsample_impl,
-                           name=f"layer_{i}")(y)
+                           quant=self.quant, name=f"layer_{i}")(y)
             y = GDN(inverse=True, dtype=self.dtype,
                     use_pallas=self.use_pallas_gdn, name=f"igdn_{i}")(y)
         # Note: routing this 192->3 layer through the full subpixel rewrite
@@ -122,17 +126,20 @@ class MBT2018HyperSynthesisTransform(nn.Module):
     num_output_filters: Optional[int] = None
     dtype: Any = jnp.float32
     upsample_impl: str = "transpose"
+    # None or 'int8': dynamic W8A8 forward for the two upsampling layers;
+    # the final 3x3 layer emits (mu, sigma) for the rate term and stays bf16.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, z):
         out = self.num_output_filters or self.num_filters
         z = nn.relu(SignalConv(self.num_filters, (5, 5), strides_up=2,
                                dtype=self.dtype, upsample_impl=self.upsample_impl,
-                               name="layer_0")(z))
+                               quant=self.quant, name="layer_0")(z))
         z = nn.relu(
             SignalConv(int(self.num_filters * 1.5), (5, 5), strides_up=2,
                        dtype=self.dtype, upsample_impl=self.upsample_impl,
-                       name="layer_1")(z)
+                       quant=self.quant, name="layer_1")(z)
         )
         z = SignalConv(out, (3, 3), strides_up=1, dtype=self.dtype, name="layer_2")(z)
         return z.astype(jnp.float32)

@@ -178,7 +178,27 @@ class Trainer:
     def restore_or_init(self) -> TrainState:
         state = self.init_state()
         if ckpt_lib.latest_step(self.save_dir) is not None:
-            state = ckpt_lib.restore_checkpoint(self.save_dir, state)
+            try:
+                state = ckpt_lib.restore_checkpoint(self.save_dir, state)
+            except Exception:
+                if self.cfg.grad_clip <= 0:
+                    raise
+                # Migrate a pre-clip checkpoint: optax.chain(clip, tx) nests
+                # the old optimizer state as element 1 of a 2-tuple (element
+                # 0, the clip's EmptyState, is stateless). Restore against
+                # the un-chained template, then wrap.
+                import dataclasses
+
+                noclip = Trainer(dataclasses.replace(self.cfg, grad_clip=0.0))
+                old = ckpt_lib.restore_checkpoint(
+                    self.save_dir, noclip.init_state()
+                )
+                state = TrainState(
+                    step=old.step,
+                    params=old.params,
+                    opt_state=(optax.EmptyState(), old.opt_state),
+                    rng=old.rng,
+                )
         return state
 
     # ------------------------------------------------------------------ step
