@@ -158,6 +158,10 @@ def main():
     ap.add_argument("outdir")
     ap.add_argument("--train", type=int, default=400)
     ap.add_argument("--eval", type=int, default=8)
+    ap.add_argument("--eval_hw", default="256x384",
+                    help="Eval image size HxW, e.g. 256x384 (Kodak-ish "
+                    "aspect) or 576x768 (Tecnick-analog large images).")
+    ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--style", choices=("photo", "grf"), default="photo")
     args = ap.parse_args()
@@ -166,17 +170,20 @@ def main():
 
     gen = synth_image_photo if args.style == "photo" else synth_image
     rng = np.random.default_rng(args.seed)
-    train_dir = os.path.join(args.outdir, "train")
-    os.makedirs(train_dir, exist_ok=True)
-    for i in range(args.train):
-        Image.fromarray(gen(rng, 256, 256)).save(
-            os.path.join(train_dir, f"img_{i:04d}.png")
-        )
-    evals = np.stack(
-        [gen(rng, 256, 384) for _ in range(args.eval)]
-    )
-    np.save(os.path.join(args.outdir, "eval.npy"), evals)
-    print(f"wrote {args.train} train pngs + eval.npy {evals.shape}")
+    os.makedirs(args.outdir, exist_ok=True)
+    if not args.eval_only:
+        train_dir = os.path.join(args.outdir, "train")
+        os.makedirs(train_dir, exist_ok=True)
+        for i in range(args.train):
+            Image.fromarray(gen(rng, 256, 256)).save(
+                os.path.join(train_dir, f"img_{i:04d}.png")
+            )
+    eh, ew = (int(v) for v in args.eval_hw.split("x"))
+    evals = np.stack([gen(rng, eh, ew) for _ in range(args.eval)])
+    name = "eval.npy" if (eh, ew) == (256, 384) else f"eval_{eh}x{ew}.npy"
+    np.save(os.path.join(args.outdir, name), evals)
+    n_train = 0 if args.eval_only else args.train
+    print(f"wrote {n_train} train pngs + {name} {evals.shape}")
 
 
 if __name__ == "__main__":
