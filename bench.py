@@ -63,7 +63,7 @@ def _run_with_retry(extra_args) -> int:
     return 1
 
 
-def _build(batch, h, w):
+def _build(batch, h, w, quant=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,7 +71,9 @@ def _build(batch, h, w):
     from nic_tpu.infer.engine import LatentOptimizer
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
 
-    model = MeanScaleHyperprior(num_filters=192, compute_dtype=jnp.bfloat16)
+    model = MeanScaleHyperprior(
+        num_filters=192, compute_dtype=jnp.bfloat16, quant=quant
+    )
     x0 = jnp.zeros((batch, h, w, 3), jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0), x0, training=True, rng=jax.random.PRNGKey(1)
@@ -187,8 +189,11 @@ def main(argv):
     batch = 24  # reference pixel budget: round(1e7 / 393216) = 25 Kodak images
     h, w = 768, 512  # Kodak-sized
     iterations = 2000  # the reference's fixed setting (sga.py:192)
+    # Opt-in int8 decode-transform forward (ops/int8conv.py); measured via
+    # scripts/exp_int8.py before flipping any default.
+    quant = "int8" if "--quant-int8" in argv else None
 
-    model, params, opt, x = _build(batch, h, w)
+    model, params, opt, x = _build(batch, h, w, quant=quant)
 
     if "--reference-emulation" in argv:
         ips, per_step = _measure_reference_emulation(
@@ -233,7 +238,10 @@ def main(argv):
     mfu = _chunk_mfu(model, params, opt, x, best_dt / iterations * 200)
 
     out = {
-        "metric": f"SGA inference throughput ({iterations} its, {h}x{w}, nf=192, bf16)",
+        "metric": (
+            f"SGA inference throughput ({iterations} its, {h}x{w}, nf=192, "
+            f"{'int8-fwd' if quant else 'bf16'})"
+        ),
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
