@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
         "existing checkpoint.",
     )
     train_cmd.add_argument(
+        "--divergence_threshold", type=float, default=0.0,
+        help="Abort (FloatingPointError) when the logged loss exceeds this "
+        "value (0 = off). GDN blow-ups can diverge while staying finite, "
+        "dodging the NaN guard; with --retries the run restarts from the "
+        "last good checkpoint instead of training a ruined model.",
+    )
+    train_cmd.add_argument(
         "--retries", type=int, default=0,
         help="Re-exec training in a fresh process up to N times on crash, "
         "resuming from the latest checkpoint (train/supervisor.py); needed "
@@ -211,6 +218,7 @@ def run_train(args, argv=None):
         logdir=args.logdir,
         steps_per_call=args.steps_per_call,
         grad_clip=args.grad_clip,
+        divergence_threshold=args.divergence_threshold,
     )
     # Each host's pipeline feeds its local share of the global batch
     # (Trainer.fit stitches shards via make_global_batch).

@@ -62,6 +62,12 @@ class TrainConfig:
     # step ~11k of an nf=192 run) that costs ~15k steps to recover from;
     # a generous clip engages only on such spikes.
     grad_clip: float = 0.0
+    # Optional absolute loss ceiling (0 = off). A GDN blow-up can diverge
+    # without ever producing NaN (observed: loss 2.2 -> 4e7, finite), so the
+    # NaN guard never fires and the run quietly ruins itself. Crossing the
+    # ceiling raises FloatingPointError like the NaN guard, so `--retries`
+    # restarts from the last (<= save_checkpoint_secs old) good checkpoint.
+    divergence_threshold: float = 0.0
     seed: int = 0
     checkpoint_dir: str = "./checkpoints"
     runname: Optional[str] = None
@@ -344,6 +350,11 @@ class Trainer:
                 if not (loss == loss and abs(loss) != float("inf")):
                     raise FloatingPointError(
                         f"NaN/Inf loss at step {step}"  # NanTensorHook behavior
+                    )
+                if 0 < cfg.divergence_threshold < loss:
+                    raise FloatingPointError(
+                        f"Diverged: loss {loss:.4g} > threshold "
+                        f"{cfg.divergence_threshold:g} at step {step}"
                     )
                 now = time.time()
                 rates = meter.rates()

@@ -17,6 +17,6 @@ echo "=== REDO mbt2018 nf=192 lmbda=0.01 (grad_clip 10) -> $LAST steps: $(date) 
 python -m nic_tpu --num_filters 192 --checkpoint_dir checkpoints_val2 \
   mbt2018 train --train_glob 'data_synth2/train/*.png' \
   --lambda 0.01 --batchsize 8 --patchsize 256 --last_step $LAST \
-  --save_checkpoint_secs 600 --steps_per_call 64 --retries 12 --grad_clip 10 \
+  --save_checkpoint_secs 600 --steps_per_call 64 --retries 12 --grad_clip 10 --divergence_threshold 500 \
   >> $L/r2-mbt2018-lmbda=0.01.log 2>&1
 echo "=== lmbda=0.01 redo rc=$?: $(date) ===" >> $L/round2_driver.log

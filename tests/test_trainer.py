@@ -136,6 +136,15 @@ class TestTrainer:
         with pytest.raises(ValueError, match="patchsize"):
             Trainer(make_cfg(tmp_path, distortion="msssim", patchsize=64))
 
+    def test_divergence_guard(self, tmp_path):
+        # A random-init model's first-step loss is ~O(100); a threshold of
+        # 1.0 must trip the guard even though the loss is finite.
+        cfg = make_cfg(tmp_path, last_step=1, log_every=1,
+                       divergence_threshold=1.0)
+        trainer = Trainer(cfg)
+        with pytest.raises(FloatingPointError, match="Diverged"):
+            trainer.fit(iter(batches(cfg)), verbose=False)
+
     def test_nan_guard(self, tmp_path):
         cfg = make_cfg(tmp_path, last_step=1, log_every=1)
         trainer = Trainer(cfg)
