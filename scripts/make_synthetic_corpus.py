@@ -158,6 +158,15 @@ def main():
     ap.add_argument("outdir")
     ap.add_argument("--train", type=int, default=400)
     ap.add_argument("--eval", type=int, default=8)
+    ap.add_argument("--train_hw", default="256x256",
+                    help="Training image size HxW. Larger than the training "
+                    "patchsize gives random-crop variety (256x256 images "
+                    "with patchsize 256 are seen whole every epoch).")
+    ap.add_argument("--prefix", default="img_",
+                    help="Training filename prefix; use a distinct prefix "
+                    "(e.g. imgL_) to ADD images to an existing corpus. The "
+                    "round-2 extension was: --train 300 --train_hw 384x384 "
+                    "--prefix imgL_ --seed 42 --eval 0.")
     ap.add_argument("--eval_hw", default="256x384",
                     help="Eval image size HxW, e.g. 256x384 (Kodak-ish "
                     "aspect) or 576x768 (Tecnick-analog large images).")
@@ -172,18 +181,22 @@ def main():
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.outdir, exist_ok=True)
     if not args.eval_only:
+        th, tw = (int(v) for v in args.train_hw.split("x"))
         train_dir = os.path.join(args.outdir, "train")
         os.makedirs(train_dir, exist_ok=True)
         for i in range(args.train):
-            Image.fromarray(gen(rng, 256, 256)).save(
-                os.path.join(train_dir, f"img_{i:04d}.png")
+            Image.fromarray(gen(rng, th, tw)).save(
+                os.path.join(train_dir, f"{args.prefix}{i:04d}.png")
             )
-    eh, ew = (int(v) for v in args.eval_hw.split("x"))
-    evals = np.stack([gen(rng, eh, ew) for _ in range(args.eval)])
-    name = "eval.npy" if (eh, ew) == (256, 384) else f"eval_{eh}x{ew}.npy"
-    np.save(os.path.join(args.outdir, name), evals)
     n_train = 0 if args.eval_only else args.train
-    print(f"wrote {n_train} train pngs + {name} {evals.shape}")
+    if args.eval:
+        eh, ew = (int(v) for v in args.eval_hw.split("x"))
+        evals = np.stack([gen(rng, eh, ew) for _ in range(args.eval)])
+        name = "eval.npy" if (eh, ew) == (256, 384) else f"eval_{eh}x{ew}.npy"
+        np.save(os.path.join(args.outdir, name), evals)
+        print(f"wrote {n_train} train pngs + {name} {evals.shape}")
+    else:
+        print(f"wrote {n_train} train pngs")
 
 
 if __name__ == "__main__":
