@@ -195,6 +195,36 @@ def main(argv):
 
     model, params, opt, x = _build(batch, h, w, quant=quant)
 
+    if "--decode" in argv:
+        # Serving-side metric: full mbt2018 decompress wall (host rANS +
+        # device h_s/g_s), per image — the reference's only decoder path
+        # (mbt2018.py:248-295). Not the headline number; printed for
+        # NEXT/VALIDATION tracking.
+        import numpy as np
+
+        from nic_tpu.coding.codec import HyperpriorCodec
+
+        codec = HyperpriorCodec(model, params)
+        xs = np.asarray(x[:4])
+        blob, _ = codec.compress(xs)
+        codec.decompress(blob)  # warm compiles
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            codec.decompress(blob)
+            best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "metric": f"mbt2018 decompress ({h}x{w}, nf=192)",
+                    "value": round(xs.shape[0] / best, 3),
+                    "unit": "images/sec/chip",
+                    "batch": xs.shape[0],
+                }
+            )
+        )
+        return
+
     if "--reference-emulation" in argv:
         ips, per_step = _measure_reference_emulation(
             model, params, x, iterations, timed_steps=100
