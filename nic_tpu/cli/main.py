@@ -176,15 +176,13 @@ def _load_params(args, model_name: str):
         runname=args.runname,
     )
     trainer = Trainer(tc)
-    state = trainer.restore_or_init()
-    from nic_tpu.train.checkpoint import latest_step
-
-    if latest_step(trainer.save_dir) is None:
+    step, params = trainer.restore_params_only()
+    if step == 0:
         print(
             f"WARNING: no checkpoint under {trainer.save_dir}; using random init.",
             file=sys.stderr,
         )
-    return trainer.model, state.params
+    return trainer.model, params
 
 
 def run_train(args, argv=None):

@@ -42,3 +42,19 @@ def restore_checkpoint(save_dir: str, state_template: Any, step: Optional[int] =
         raise FileNotFoundError(f"No checkpoints under {save_dir}")
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_ckpt_path(save_dir, step), state_template)
+
+
+def restore_raw(save_dir: str, step: Optional[int] = None) -> Any:
+    """Restore a checkpoint with no target template (raw nested dict).
+
+    Inference paths only need `params` + `step`; restoring template-free
+    sidesteps optimizer-state tree-structure coupling entirely (a
+    checkpoint written with --grad_clip has a chain-wrapped opt_state that
+    a clip-less template cannot receive, and vice versa).
+    """
+    if step is None:
+        step = latest_step(save_dir)
+    if step is None:
+        raise FileNotFoundError(f"No checkpoints under {save_dir}")
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_ckpt_path(save_dir, step))

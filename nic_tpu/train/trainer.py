@@ -181,6 +181,18 @@ class Trainer:
             rng=state_rng,
         )
 
+    def restore_params_only(self):
+        """(step, params) from the latest checkpoint, or (0, init params).
+
+        The inference/eval paths need only the model parameters; a raw
+        (template-free) restore keeps them decoupled from the optimizer
+        state's tree structure (which changes with --grad_clip).
+        """
+        if ckpt_lib.latest_step(self.save_dir) is None:
+            return 0, self.init_state().params
+        raw = ckpt_lib.restore_raw(self.save_dir)
+        return int(raw["step"]), raw["params"]
+
     def restore_or_init(self) -> TrainState:
         state = self.init_state()
         if ckpt_lib.latest_step(self.save_dir) is not None:

@@ -68,7 +68,7 @@ def main():
                 runname=args.runname,
             )
         )
-        params = trainer.restore_or_init().params
+        params = trainer.restore_params_only()[1]
     else:
         base = MeanScaleHyperprior(num_filters=args.nf, compute_dtype=jnp.bfloat16)
         variables = base.init(

@@ -78,12 +78,11 @@ def main():
             runname=runname,
         )
         trainer = Trainer(tc)
-        state = trainer.restore_or_init()
-        step = int(state.step)
+        step, params = trainer.restore_params_only()
         model = MeanScaleHyperprior(
             num_filters=args.num_filters, compute_dtype=jnp.bfloat16
         )
-        opt = LatentOptimizer(model, state.params)
+        opt = LatentOptimizer(model, params)
         row = dict(runname=runname, lmbda=lmbda, step=step, methods={})
         for name in curve:
             t0 = time.time()

@@ -59,7 +59,7 @@ def main():
     step = latest_step(trainer.save_dir)
     if step is None:
         raise SystemExit(f"no checkpoint under {trainer.save_dir}")
-    state = trainer.restore_or_init()
+    _, params = trainer.restore_params_only()
     print(f"restored step {step} from {trainer.save_dir}")
 
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
@@ -67,7 +67,7 @@ def main():
     model = MeanScaleHyperprior(
         num_filters=args.num_filters, compute_dtype=jnp.bfloat16
     )
-    opt = LatentOptimizer(model, state.params)
+    opt = LatentOptimizer(model, params)
 
     X = np.load(args.eval_npy).astype(np.float32)
     if X.max() > 1.5:
@@ -150,15 +150,15 @@ def bb_main(args):
     step = latest_step(trainer.save_dir)
     if step is None:
         raise SystemExit(f"no checkpoint under {trainer.save_dir}")
-    state = trainer.restore_or_init()
+    _, params = trainer.restore_params_only()
     print(f"restored step {step} from {trainer.save_dir}")
 
     model = BitsBackHyperprior(
         num_filters=args.num_filters, compute_dtype=jnp.bfloat16
     )
-    opt = BBLatentOptimizer(model, state.params)
+    opt = BBLatentOptimizer(model, params)
     codec = BitsBackCodec(
-        BitsBackHyperprior(num_filters=args.num_filters), state.params
+        BitsBackHyperprior(num_filters=args.num_filters), params
     )
 
     X = np.load(args.eval_npy).astype(np.float32)

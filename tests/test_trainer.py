@@ -136,6 +136,21 @@ class TestTrainer:
         with pytest.raises(ValueError, match="patchsize"):
             Trainer(make_cfg(tmp_path, distortion="msssim", patchsize=64))
 
+    def test_params_only_restore_ignores_opt_state_structure(self, tmp_path):
+        # A checkpoint written WITH grad_clip (chain-wrapped opt_state) must
+        # load on an inference path built WITHOUT it, and vice versa.
+        cfg = make_cfg(tmp_path, last_step=1, grad_clip=5.0,
+                       num_devices=1, batchsize=2)
+        trainer = Trainer(cfg)
+        trainer.fit(iter(batches(cfg)), verbose=False)
+        plain = Trainer(make_cfg(tmp_path, num_devices=1, batchsize=2))
+        step, params = plain.restore_params_only()
+        assert step == 1
+        trained = trainer.restore_or_init().params
+        leaves_a = jax.tree.leaves(params)
+        leaves_b = jax.tree.leaves(trained)
+        assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
     def test_divergence_guard(self, tmp_path):
         # A random-init model's first-step loss is ~O(100); a threshold of
         # 1.0 must trip the guard even though the loss is finite.
