@@ -128,10 +128,11 @@ class SignalConv(nn.Module):
     # hyperprior shapes (0.110 vs 0.132 img/s SGA bench), so transpose
     # stays the default. Kept for other shapes/hardware.
     upsample_impl: str = "transpose"
-    # None (default) or 'int8': dynamically-quantized W8A8 forward on the
-    # MXU's 2x int8 path with bf16 STE backward (ops/int8conv.py). Only for
+    # None (default), 'int8' (dynamically-quantized W8A8 forward on the
+    # MXU's 2x int8 path, bf16 STE backward), or 'int8_all' ('int8' plus an
+    # int8 input-cotangent conv for the 5x5/up2 shape). Only for
     # frozen-weight inference loops; ignored for block_space / subpixel /
-    # phases variants.
+    # phases variants (ops/int8conv.py).
     quant: Optional[str] = None
 
     @nn.compact
@@ -166,10 +167,16 @@ class SignalConv(nn.Module):
                 )
                 y4 = y4 + jnp.tile(b.astype(self.dtype), 4)
             return y4
-        if self.quant == "int8" and self.upsample_impl == "transpose":
-            from nic_tpu.ops.int8conv import int8_conv
+        if self.quant in ("int8", "int8_all") and self.upsample_impl == "transpose":
+            from nic_tpu.ops.int8conv import int8_conv, int8_conv_transpose_qbwd
 
-            if self.strides_up > 1:
+            if (
+                self.quant == "int8_all"
+                and self.strides_up == 2
+                and self.kernel == (5, 5)
+            ):
+                y = int8_conv_transpose_qbwd(x, w, 2)
+            elif self.strides_up > 1:
                 y = int8_conv(x, w, self.strides_up, True)
             else:
                 y = int8_conv(x, w, self.strides_down, False)

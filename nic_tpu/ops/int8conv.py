@@ -101,3 +101,60 @@ def _int8_conv_bwd(strides, transpose, res, g):
 
 
 int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
+def _adjoint_weight_up2(w):
+    """Kernel of the input-cotangent conv for conv_transpose(s=2, 5x5, SAME):
+    dx = conv(g, rot180(w) with I/O swapped, window_strides=2, pad (1,2)).
+    Verified element-exact against jax.vjp (tests/test_int8.py); the SAME
+    conv_transpose always outputs exactly s*H, so the (1,2) padding is
+    input-parity-independent."""
+    return w.transpose(0, 1, 3, 2)[::-1, ::-1]
+
+
+def _qbwd_x_up2(g, w, strides):
+    wT = _adjoint_weight_up2(w)
+    gq, sg = _quantize_per_tensor(g)
+    wq, sw = _quantize_weight_per_cout(wT)
+    dx = lax.conv_general_dilated(
+        gq,
+        wq,
+        (strides, strides),
+        ((1, 2), (1, 2)),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    return dx.astype(jnp.bfloat16) * (sg * sw).astype(jnp.bfloat16)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_conv_transpose_qbwd(x, w, strides: int = 2):
+    """int8 conv_transpose with the input-cotangent conv ALSO in int8.
+
+    The upstream gradient gets the same dynamic per-tensor quantization as
+    activations (bounded ~0.4%-of-max noise per layer). Only the latents'
+    cotangent runs quantized; the (DCE-eliminated when unused) weight
+    cotangent stays float. Kernel 5x5, stride 2, SAME — the g_s/h_s
+    upsampling shape used everywhere in the hyperprior.
+    """
+    return _qfwd(x, w, strides, True)
+
+
+def _int8qb_fwd(x, w, strides):
+    return _qfwd(x, w, strides, True), (x, w)
+
+
+def _int8qb_bwd(strides, res, g):
+    x, w = res
+    if w.shape[0] != 5 or w.shape[1] != 5 or strides != 2:
+        _, vjp = jax.vjp(lambda x_, w_: _bf16_conv(x_, w_, strides, True), x, w)
+        return vjp(g.astype(x.dtype))
+    dx = _qbwd_x_up2(g, w, strides).astype(x.dtype)
+    # Weight cotangent: float (frozen weights in the inference loops — XLA
+    # dead-code-eliminates this when the caller never uses it).
+    _, vjp = jax.vjp(lambda w_: _bf16_conv(x, w_, strides, True), w)
+    (dw,) = vjp(g.astype(x.dtype))
+    return dx, dw
+
+
+int8_conv_transpose_qbwd.defvjp(_int8qb_fwd, _int8qb_bwd)

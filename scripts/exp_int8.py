@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--runname", default=None)
     ap.add_argument("--eval_npy", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma list of variants to run (bf16,int8,int8_all)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nic_tpu_jax_cache")
@@ -76,8 +78,12 @@ def main():
         )
         params = variables["params"]
 
+    variants = [("bf16", None), ("int8", "int8"), ("int8_all", "int8_all")]
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     results = {}
-    for name, quant in [("bf16", None), ("int8", "int8")]:
+    for name, quant in variants:
         model = MeanScaleHyperprior(
             num_filters=args.nf, compute_dtype=jnp.bfloat16, quant=quant
         )
@@ -101,18 +107,25 @@ def main():
         )
         print(name, json.dumps(results[name]), flush=True)
 
-    speedup = results["int8"]["images_per_sec"] / results["bf16"]["images_per_sec"]
-    print(
-        json.dumps(
-            {
-                "speedup_int8_over_bf16": round(speedup, 4),
-                "dpsnr": round(results["int8"]["psnr"] - results["bf16"]["psnr"], 4),
-                "dbpp": round(
-                    results["int8"]["est_bpp"] - results["bf16"]["est_bpp"], 5
-                ),
-            }
-        )
-    )
+    if "bf16" in results:
+        base = results["bf16"]
+        for name in results:
+            if name == "bf16":
+                continue
+            print(
+                json.dumps(
+                    {
+                        f"speedup_{name}_over_bf16": round(
+                            results[name]["images_per_sec"]
+                            / base["images_per_sec"], 4
+                        ),
+                        "dpsnr": round(results[name]["psnr"] - base["psnr"], 4),
+                        "dbpp": round(
+                            results[name]["est_bpp"] - base["est_bpp"], 5
+                        ),
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":

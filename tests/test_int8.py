@@ -58,6 +58,51 @@ class TestInt8Conv:
         np.testing.assert_array_equal(np.asarray(g_q, np.float32),
                                       np.asarray(g_ref, np.float32))
 
+    def test_adjoint_conv_matches_vjp(self):
+        # The hand-built input-cotangent conv (flip+swap kernel, strides 2,
+        # pad (1,2)) must be element-exact vs jax.vjp of the float primal.
+        from nic_tpu.ops.int8conv import _adjoint_weight_up2
+
+        for h, w_ in [(6, 5), (7, 7), (4, 9)]:
+            x = _mk((2, h, w_, 6), h)
+            w = _mk((5, 5, 6, 10), w_) * 0.1
+            y = lax.conv_transpose(
+                x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            g = _mk(y.shape, 3)
+            _, vjp = jax.vjp(
+                lambda x_: lax.conv_transpose(
+                    x_, w, (2, 2), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ),
+                x,
+            )
+            (dx_ref,) = vjp(g)
+            dx = lax.conv_general_dilated(
+                g, _adjoint_weight_up2(w), (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            np.testing.assert_allclose(
+                np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-4
+            )
+
+    def test_qbwd_gradient_close_to_float(self):
+        from nic_tpu.ops.int8conv import int8_conv_transpose_qbwd
+
+        x = _mk((1, 6, 6, 8))
+        w = _mk((5, 5, 8, 8), 1) * 0.1
+        g_q = jax.grad(lambda x_: jnp.sum(int8_conv_transpose_qbwd(x_, w, 2)))(x)
+        g_ref = jax.grad(
+            lambda x_: jnp.sum(
+                lax.conv_transpose(
+                    x_, w, (2, 2), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+        )(x)
+        scale = np.abs(np.asarray(g_ref)).max() + 1e-9
+        assert np.abs(np.asarray(g_q, np.float32) - np.asarray(g_ref)).max() / scale < 0.03
+
     def test_model_quant_option_runs_and_tracks(self):
         from nic_tpu.models.mbt2018 import MeanScaleHyperprior
 
