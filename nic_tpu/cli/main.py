@@ -297,22 +297,20 @@ def run_compress(args):
             from nic_tpu.parallel.spatial import SpatialLatentOptimizer
 
             # Same optimize() surface as LatentOptimizer (batches handled
-            # image-by-image inside, batch-mean loss records); probes are a
-            # typed NotImplementedError there, downgraded to a warning here.
+            # image-by-image inside, batch-mean loss records); --verbose
+            # probes are psum'd under shard_map, so the probe record
+            # matches the batch engine's.
             opt = SpatialLatentOptimizer(model, params)
-            if args.verbose:
-                print(
-                    "WARNING: --verbose rounded-objective probes are not "
-                    "supported with --spatial; skipping.",
-                    file=sys.stderr,
-                )
         fields = ["mse", "psnr", "msssim", "msssim_db", "est_bpp", "est_y_bpp", "est_z_bpp"]
         results = {k: [] for k in fields}
-        opt_record = {"its": [], "rd_loss": [], "rd_loss_after_rounding": []}
+        # One loss history per eval batch (the reference writes an opt
+        # record per batch when enabled, sga.py:271-279) — accumulated,
+        # not overwritten, so multi-batch runs keep every history.
+        rd_losses, rounded_losses = [], []
         last_res = None
         # --verbose: probe the true discrete objective every 100 its
-        # (sga.py:218-233). Not supported in the spatial path (warned above).
-        probe_every = 100 if args.verbose and not getattr(args, "spatial", False) else 0
+        # (sga.py:218-233), in both the batch and spatial engines.
+        probe_every = 100 if args.verbose else 0
         for batch in _batches(X):
             res = last_res = opt.optimize(
                 batch, lmbda, method=spec, seed=args.seed, probe_every=probe_every
@@ -320,12 +318,26 @@ def run_compress(args):
             for k in fields:
                 results[k].extend(np.asarray(res[k]).tolist())
             if res["losses"].size:
-                opt_record["its"] = np.arange(res["losses"].size)
-                opt_record["rd_loss"] = res["losses"]
-                opt_record["rd_loss_after_rounding"] = res["rounded_losses"]
-        if args.save_opt_record and len(np.atleast_1d(opt_record["rd_loss"])):
+                rd_losses.append(np.asarray(res["losses"]))
+                rounded_losses.append(np.asarray(res["rounded_losses"]))
+        if args.save_opt_record and rd_losses:
+            # [num_batches, its] when batches share a length (fixed-length
+            # scans do); a single batch stays 1-D for round-1 compatibility.
+            stackable = len({a.shape for a in rd_losses}) == 1
+            pack = (lambda ls: np.stack(ls)) if stackable else (
+                lambda ls: np.asarray(ls, dtype=object)
+            )
+            opt_record = {
+                "its": np.arange(rd_losses[0].size),
+                "rd_loss": pack(rd_losses) if len(rd_losses) > 1 else rd_losses[0],
+                "rd_loss_after_rounding": (
+                    pack(rounded_losses)
+                    if len(rounded_losses) > 1
+                    else rounded_losses[0]
+                ),
+            }
             save_rd_results(
-                {k: np.asarray(v) for k, v in opt_record.items()},
+                opt_record,
                 args.results_dir, args.script, args.runname, args.input_file,
                 lmbda, prefix="opt", verbose=False,
             )

@@ -435,7 +435,18 @@ class LatentOptimizer:
         if x.shape[0] % self.mesh.size:
             # Remainder batches (batch not divisible by the mesh) run
             # replicated — correct, just not parallel; only the final
-            # partial batch of an eval sweep hits this.
+            # partial batch of an eval sweep hits this. Warn so a sweep
+            # whose batch never divides doesn't silently run at 1/N
+            # throughput (mirrors the trainer's mesh-shrink warning).
+            import warnings
+
+            warnings.warn(
+                f"batch of {x.shape[0]} does not divide the {self.mesh.size}-"
+                "device data mesh; this batch runs replicated (no data "
+                "parallelism). Pick eval batch sizes divisible by the mesh "
+                "to keep all chips busy.",
+                stacklevel=3,
+            )
             return jax.device_put(x, replicated_sharding(self.mesh))
         return jax.device_put(x, batch_sharding(self.mesh))
 

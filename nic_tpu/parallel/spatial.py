@@ -190,8 +190,13 @@ def _probe_objective_local(model, params, y_local, z, x_local, lmbda,
 
 
 def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
-                   chunk_len: int):
-    """The shard_map body: `chunk_len` optimization steps on-device."""
+                   chunk_len: int, probe_every: int = 0):
+    """The shard_map body: `chunk_len` optimization steps on-device.
+
+    probe_every > 0 (fixed-length methods only) additionally evaluates the
+    true rounded objective every that many iterations — the reference's
+    --verbose self-check (sga.py:218-233), psum'd so it is identical on
+    every shard; other iterations report NaN."""
 
     def chunk(params, x_local, lmbda, carry):
         grad_fn = jax.value_and_grad(
@@ -227,9 +232,25 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
         if not method.early_stop:
 
             def step(c, _):
-                return common_step(c)
+                it = c[5]
+                c, loss = common_step(c)
+                if probe_every > 0:
+                    probe = lax.cond(
+                        it % probe_every == 0,
+                        lambda: _probe_objective_local(
+                            model, params, c[0], c[1], x_local, lmbda,
+                            num_pixels, method.name, axis,
+                        ),
+                        lambda: jnp.float32(jnp.nan),
+                    )
+                else:
+                    probe = jnp.float32(jnp.nan)
+                return c, (loss, probe)
 
-            return lax.scan(step, carry, None, length=chunk_len)
+            carry, (losses, probes) = lax.scan(
+                step, carry, None, length=chunk_len
+            )
+            return carry, (losses, probes)
 
         # Early-stopping variant (map.py:186-193, ste.py:185-194): probe the
         # rounded objective every probe_interval its, keep the last improving
@@ -279,7 +300,7 @@ def _make_chunk_fn(model, method: MethodSpec, num_pixels: int, axis: str,
         carry = lax.while_loop(cond, body, (base, saved_y, saved_z, prev_obj,
                                             stopped))
         empty = jnp.zeros((0,), jnp.float32)
-        return carry, empty
+        return carry, (empty, empty)
 
     return chunk
 
@@ -438,18 +459,19 @@ class SpatialLatentOptimizer:
         return jax.device_put(t, NamedSharding(self.mesh, P()))
 
     def _chunk_runner(self, method: MethodSpec, num_pixels: int,
-                      chunk_len: int):
-        key = (method, num_pixels, chunk_len)
+                      chunk_len: int, probe_every: int = 0):
+        key = (method, num_pixels, chunk_len, probe_every)
         if key not in self._chunk_cache:
             body = _make_chunk_fn(
-                self.model, method, num_pixels, DATA_AXIS, chunk_len
+                self.model, method, num_pixels, DATA_AXIS, chunk_len,
+                probe_every=probe_every,
             )
             specs = _carry_specs(method.early_stop)
             fn = jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=(P(), _row_spec(), P(), specs),
-                out_specs=(specs, P()),
+                out_specs=(specs, (P(), P())),
                 check_vma=False,
             )
             self._chunk_cache[key] = jax.jit(fn, donate_argnums=(3,))
@@ -515,12 +537,11 @@ class SpatialLatentOptimizer:
                 f"(got distortion={method.distortion!r}); use the batch "
                 "LatentOptimizer for msssim."
             )
-        if probe_every:
-            raise NotImplementedError(
-                "rounded-objective probes (probe_every > 0) are not "
-                "supported in the spatial model-parallel path; use the "
-                "batch LatentOptimizer for --verbose probes."
-            )
+        if probe_every and method.early_stop:
+            # Early-stop methods already probe on their own schedule (the
+            # psum'd improving-probe loop); the batch engine likewise only
+            # records probe traces for fixed-length methods.
+            probe_every = 0
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 3:
             x = x[None]
@@ -533,7 +554,7 @@ class SpatialLatentOptimizer:
             outs = [
                 self.optimize(
                     img[None], lmbda, method=method, seed=seed,
-                    chunk_size=chunk_size,
+                    chunk_size=chunk_size, probe_every=probe_every,
                 )
                 for img in x
             ]
@@ -580,16 +601,19 @@ class SpatialLatentOptimizer:
             )
 
         losses = []
+        probes = []
         its_done = 0
         while its_done < method.iterations:
             this = min(chunk_size, method.iterations - its_done)
-            runner = self._chunk_runner(method, num_pixels, this)
-            carry, chunk_losses = runner(
+            runner = self._chunk_runner(method, num_pixels, this, probe_every)
+            carry, (chunk_losses, chunk_probes) = runner(
                 self.params, x, jnp.float32(lmbda), carry
             )
             its_done += this
             if not method.early_stop:
                 losses.append(chunk_losses)
+                if probe_every:
+                    probes.append(chunk_probes)
             elif bool(jax.device_get(carry[4])):
                 break
 
@@ -609,7 +633,11 @@ class SpatialLatentOptimizer:
             y=np.asarray(yq),
             z=np.asarray(zq),
             losses=np.asarray(jnp.concatenate(losses)),
-            rounded_losses=np.zeros((0,), np.float32),
+            rounded_losses=(
+                np.asarray(jnp.concatenate(probes))
+                if probes
+                else np.zeros((0,), np.float32)
+            ),
             **{k: np.asarray(v) for k, v in metrics.items()},
         )
 

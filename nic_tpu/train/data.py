@@ -88,7 +88,13 @@ class PatchPipeline:
         return img[i : i + p, j : j + p, :]
 
     def _worker(self, worker_id: int, num_workers: int):
-        rng = np.random.default_rng(self.seed + worker_id)
+        # Seed with the (seed, worker_id) PAIR, not their sum: under
+        # multi-host DP each host gets seed = 1000 + process_index, and
+        # additive seeding would make host p's worker w collide with host
+        # p+1's worker w-1, silently duplicating sample streams across the
+        # data-parallel axis. SeedSequence entropy pairs are collision-free
+        # for distinct (seed, worker) tuples.
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, worker_id]))
         while not self._stop.is_set():
             batch = []
             while len(batch) < self.batchsize:

@@ -198,7 +198,12 @@ class Trainer:
         if ckpt_lib.latest_step(self.save_dir) is not None:
             try:
                 state = ckpt_lib.restore_checkpoint(self.save_dir, state)
-            except Exception:
+            except (ValueError, TypeError) as e:
+                # Orbax raises ValueError/TypeError on a tree-structure
+                # mismatch; under --grad_clip that most likely means a
+                # pre-clip checkpoint whose opt_state lacks the
+                # optax.chain(clip, tx) wrapper. Any other failure mode
+                # (corrupt file, wrong model) re-raises the original error.
                 if self.cfg.grad_clip <= 0:
                     raise
                 # Migrate a pre-clip checkpoint: optax.chain(clip, tx) nests
@@ -208,9 +213,12 @@ class Trainer:
                 import dataclasses
 
                 noclip = Trainer(dataclasses.replace(self.cfg, grad_clip=0.0))
-                old = ckpt_lib.restore_checkpoint(
-                    self.save_dir, noclip.init_state()
-                )
+                try:
+                    old = ckpt_lib.restore_checkpoint(
+                        self.save_dir, noclip.init_state()
+                    )
+                except Exception:
+                    raise e  # not a clip migration — surface the original
                 state = TrainState(
                     step=old.step,
                     params=old.params,
@@ -321,6 +329,25 @@ class Trainer:
         is_writer = jax.process_index() == 0
         if state is None:
             state = self.restore_or_init()
+            if jax.process_count() > 1:
+                # Only process 0 saves checkpoints; without a shared
+                # filesystem a restarted non-zero host would silently
+                # random-init (step 0) while host 0 resumes, leaving the
+                # "replicated" state inconsistent across the SPMD program.
+                # Cross-check the restored step on every process and fail
+                # loudly on mismatch.
+                from jax.experimental import multihost_utils
+
+                steps = multihost_utils.process_allgather(
+                    jnp.asarray(int(state.step), jnp.int32)
+                )
+                if int(steps.min()) != int(steps.max()):
+                    raise RuntimeError(
+                        "Checkpoint restore diverged across hosts (restored "
+                        f"steps per process: {list(map(int, steps))}). All "
+                        "processes must see the same checkpoint directory "
+                        "(shared filesystem) to resume a multi-host run."
+                    )
         if is_writer:
             self._write_metadata()
         step_fn = self.step_fn

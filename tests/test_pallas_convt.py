@@ -59,6 +59,34 @@ class TestFusedConvTransposeIGDN:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_wide_input_column_split(self, params):
+        # W > 66 takes the column-split path (64-col chunks + 1-col halo,
+        # re-concatenated) — the branch production-size images hit; cover
+        # the chunk/halo arithmetic, including a non-multiple-of-64 width.
+        _, w, bias, beta, gamma = params
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 12, 70, 8)), jnp.float32)
+        ref = conv_transpose_igdn_up2_reference(x, w, bias, beta, gamma)
+        got = conv_transpose_igdn_up2(
+            x, w, bias, beta, gamma, row_tile=4, interpret=True
+        )
+        assert got.shape == ref.shape == (2, 24, 140, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_wide_input_exact_multiple(self, params):
+        # W = 128 = exactly two 64-col chunks (no final partial chunk).
+        _, w, bias, beta, gamma = params
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 8, 128, 8)), jnp.float32)
+        ref = conv_transpose_igdn_up2_reference(x, w, bias, beta, gamma)
+        got = conv_transpose_igdn_up2(
+            x, w, bias, beta, gamma, row_tile=4, interpret=True
+        )
+        assert got.shape == ref.shape == (1, 16, 256, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_custom_vjp_backward_matches_composite(self, params):
         from nic_tpu.ops.pallas_convt import fused_synthesis_layer
 

@@ -89,6 +89,29 @@ class TestEngine:
 
         assert rd(r) < rd(base)
 
+    def test_verbose_probes_match_batch_engine(self, setup):
+        """probe_every > 0 records the psum'd rounded objective on the same
+        schedule (NaN elsewhere) as the batch engine's --verbose probes."""
+        model, params, x = setup
+        spec = DANNEAL.replace(iterations=12)
+        rs = SpatialLatentOptimizer(model, params).optimize(
+            x, 0.01, method=spec, probe_every=5, chunk_size=6
+        )
+        rb = LatentOptimizer(model, params).optimize(
+            x, 0.01, method=spec, probe_every=5
+        )
+        assert rs["rounded_losses"].shape == (12,)
+        probe_mask = np.isfinite(rs["rounded_losses"])
+        np.testing.assert_array_equal(probe_mask, np.arange(12) % 5 == 0)
+        np.testing.assert_array_equal(probe_mask, np.isfinite(rb["rounded_losses"]))
+        # Deterministic method: the probed discrete objectives must agree
+        # with the batch engine up to fp32 reduction order.
+        np.testing.assert_allclose(
+            rs["rounded_losses"][probe_mask],
+            rb["rounded_losses"][probe_mask],
+            rtol=1e-3,
+        )
+
     def test_losses_recorded_and_msssim(self, setup):
         model, params, x = setup
         r = SpatialLatentOptimizer(model, params).optimize(
