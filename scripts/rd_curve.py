@@ -26,11 +26,11 @@ import time
 import numpy as np
 
 
-def find_runs(checkpoint_dir: str, num_filters: int):
-    """(runname, lmbda) for every mbt2018 run with a checkpoint."""
+def find_runs(checkpoint_dir: str, num_filters: int, model: str = "mbt2018"):
+    """(runname, lmbda) for every run of `model` with a checkpoint."""
     runs = []
     pat = re.compile(
-        rf"^mbt2018-num_filters={num_filters}-lmbda=([0-9.eE+-]+)$"
+        rf"^{model}-num_filters={num_filters}-lmbda=([0-9.eE+-]+)$"
     )
     for d in sorted(glob.glob(os.path.join(checkpoint_dir, "*"))):
         m = pat.match(os.path.basename(d))
@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--methods", default="amortized,sga")
     ap.add_argument("--its", type=int, default=2000)
     ap.add_argument("--num_filters", type=int, default=192)
+    ap.add_argument(
+        "--model", default="mbt2018", choices=("mbt2018", "mbt2018_bb"),
+        help="mbt2018_bb scans bb checkpoints and evaluates the bits-back "
+        "family (methods like bb_plain,bb_sga; net rate = est_bpp - "
+        "bpp_back, matching the reference's bb_sga curves).",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -56,11 +62,11 @@ def main():
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
     from nic_tpu.train.trainer import TrainConfig, Trainer
 
-    runs = find_runs(args.checkpoint_dir, args.num_filters)
+    runs = find_runs(args.checkpoint_dir, args.num_filters, args.model)
     if not runs:
         raise SystemExit(
-            f"no mbt2018-num_filters={args.num_filters}-lmbda=* checkpoints "
-            f"under {args.checkpoint_dir}"
+            f"no {args.model}-num_filters={args.num_filters}-lmbda=* "
+            f"checkpoints under {args.checkpoint_dir}"
         )
     print(f"runs: {[r[0] for r in runs]}")
 
@@ -72,21 +78,37 @@ def main():
     detail = []
     for runname, lmbda in runs:
         tc = TrainConfig(
-            model="mbt2018",
+            model=args.model,
             num_filters=args.num_filters,
             checkpoint_dir=args.checkpoint_dir,
             runname=runname,
         )
         trainer = Trainer(tc)
         step, params = trainer.restore_params_only()
-        model = MeanScaleHyperprior(
-            num_filters=args.num_filters, compute_dtype=jnp.bfloat16
-        )
-        opt = LatentOptimizer(model, params)
+        if args.model == "mbt2018_bb":
+            from nic_tpu.infer import bb as BB
+            from nic_tpu.models.mbt2018_bb import BitsBackHyperprior
+
+            model = BitsBackHyperprior(
+                num_filters=args.num_filters, compute_dtype=jnp.bfloat16
+            )
+            opt = BB.BBLatentOptimizer(model, params)
+        else:
+            model = MeanScaleHyperprior(
+                num_filters=args.num_filters, compute_dtype=jnp.bfloat16
+            )
+            opt = LatentOptimizer(model, params)
         row = dict(runname=runname, lmbda=lmbda, step=step, methods={})
         for name in curve:
             t0 = time.time()
-            if name == "amortized":
+            if args.model == "mbt2018_bb":
+                import dataclasses
+
+                spec = getattr(BB, name.upper())
+                if spec.rd_iterations > 0:
+                    spec = dataclasses.replace(spec, rd_iterations=args.its)
+                r = opt.optimize(X, lmbda=lmbda, spec=spec, seed=0)
+            elif name == "amortized":
                 r = opt.eval_amortized(X)
             else:
                 spec = getattr(M, name.upper()).replace(iterations=args.its)

@@ -88,6 +88,7 @@ def bb_codec():
     return BitsBackCodec(model, variables["params"])
 
 
+@pytest.mark.slow
 class TestBitsBackCodec:
     def test_roundtrip_and_bit_recovery(self, bb_codec):
         x = np.random.default_rng(3).random((2, 64, 64, 3)).astype(np.float32)

@@ -105,6 +105,7 @@ class TestCLI:
         bundle = np.load(results[0])
         assert np.isfinite(bundle["est_bpp"]).all()
 
+    @pytest.mark.slow
     def test_sga_compress_spatial_cli(self, workspace):
         """--spatial shards a single image's rows across the mesh and must
         produce the same results-bundle surface as the batch path."""
@@ -135,6 +136,7 @@ class TestCLI:
         assert np.isfinite(bundle["est_bpp"]).all()
         assert os.path.getsize(out) > 0
 
+    @pytest.mark.slow
     def test_sga_writes_optimized_bitstream(self, workspace):
         runname = "mbt2018-num_filters=4-lmbda=0.01"
         out = str(workspace / "sga_out.ntc")
@@ -203,6 +205,7 @@ class TestCLI:
         with pytest.raises(ValueError, match="mode"):
             codec.decompress_optimized(blob0)
 
+    @pytest.mark.slow
     def test_bb_compress_decompress_roundtrip(self, workspace):
         """bb_sga compress writes a real optimized-posterior bitstream;
         decompress recovers the image and the borrowed initial bits."""
@@ -230,6 +233,7 @@ class TestCLI:
         recon = np.asarray(Image.open(out_png))
         assert recon.shape == (64, 64, 3)
 
+    @pytest.mark.slow
     def test_bb_decompress_rejects_corrupt_stream(self, workspace):
         runname = "mbt2018_bb-num_filters=4-lmbda=0.01"
         src = str(workspace / "bb_out.ntc")

@@ -80,6 +80,7 @@ class TestLatentOptimizer:
         assert np.all(np.isfinite(res["est_bpp"]))
         assert res["est_bpp"].shape == (2,)
 
+    @pytest.mark.slow
     def test_sga_beats_amortized(self, opt, image):
         base = opt.eval_amortized(image)
         res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=300))
@@ -99,6 +100,7 @@ class TestLatentOptimizer:
         # integers in general.
         assert np.all(np.isfinite(res["y"]))
 
+    @pytest.mark.slow
     def test_unoise_noisy_z_parity_mode(self, opt, image):
         """unoise_mu_source='noisy_z' reproduces the reference's A3
         transmitted-mean semantics (unoise.py:82,97): a fresh noisy-z mean,
@@ -147,6 +149,7 @@ def bb_opt():
     return BBLatentOptimizer(model, variables["params"])
 
 
+@pytest.mark.slow
 class TestBBEngines:
     def test_bb_plain(self, bb_opt, image):
         res = bb_opt.optimize(image, lmbda=0.01, spec=BB_PLAIN)
@@ -181,6 +184,7 @@ class TestBBEngines:
         )
 
 
+@pytest.mark.slow
 class TestMsssimObjective:
     def test_sga_msssim_objective_runs_and_differs(self):
         """distortion='msssim' optimizes lmbda*(1-MS-SSIM)+bpp; its loss
@@ -201,6 +205,7 @@ class TestMsssimObjective:
         assert ms["losses"][0] < mse["losses"][0]
 
 
+@pytest.mark.slow
 class TestBlockSpaceLoss:
     def test_block_space_mse_identical(self, opt, image):
         """The block-space distortion path must produce the same loss as the
@@ -252,6 +257,7 @@ class TestEngineKnobs:
     identical; scan unroll may only reassociate fusions (float-noise loss
     deltas, same optimization trajectory)."""
 
+    @pytest.mark.slow
     def test_donate_bitwise_identical(self, opt, image):
         m = SGA.replace(iterations=30)
         r0 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10)
@@ -261,6 +267,7 @@ class TestEngineKnobs:
         np.testing.assert_array_equal(r0["z"], r1["z"])
         np.testing.assert_array_equal(r0["losses"], r1["losses"])
 
+    @pytest.mark.slow
     def test_unroll_equivalent(self, opt, image):
         m = SGA.replace(iterations=30)
         r0 = opt.optimize(image, lmbda=0.01, method=m, seed=0, chunk_size=10)
@@ -270,6 +277,7 @@ class TestEngineKnobs:
         np.testing.assert_array_equal(r0["z"], r1["z"])
         np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-4)
 
+    @pytest.mark.slow
     def test_donate_with_early_stop_method(self, opt, image):
         from nic_tpu.infer.methods import MAP
 

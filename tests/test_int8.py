@@ -58,6 +58,7 @@ class TestInt8Conv:
         np.testing.assert_array_equal(np.asarray(g_q, np.float32),
                                       np.asarray(g_ref, np.float32))
 
+    @pytest.mark.slow
     def test_adjoint_conv_matches_vjp(self):
         # The hand-built input-cotangent conv (flip+swap kernel, strides 2,
         # pad (1,2)) must be element-exact vs jax.vjp of the float primal.
@@ -86,6 +87,7 @@ class TestInt8Conv:
                 np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-4
             )
 
+    @pytest.mark.slow
     def test_qbwd_gradient_close_to_float(self):
         from nic_tpu.ops.int8conv import int8_conv_transpose_qbwd
 

@@ -102,6 +102,7 @@ class TestMeanScaleHyperprior:
             out["y_tilde"], jnp.round(out["y"] - out["mu"]) + out["mu"], atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_rd_loss_and_grads(self, mbt):
         model, variables = mbt
         x = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
@@ -175,6 +176,7 @@ class TestBF16ComputeDtype:
         assert abs(float(l32) - float(l16)) / abs(float(l32)) < 0.05
 
 
+@pytest.mark.slow
 class TestSubpixelEquivalence:
     def test_subpixel_matches_conv_transpose(self):
         """The subpixel upsampling path must be element-exact with

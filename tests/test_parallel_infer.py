@@ -23,6 +23,7 @@ def setup():
 
 
 class TestShardedInference:
+    @pytest.mark.slow
     def test_matches_single_device(self, setup):
         model, params = setup
         assert jax.device_count() >= 8

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from nic_tpu.cli.main import main
 from nic_tpu.train.prior_trainer import PriorTrainConfig, fit_factorized_prior
@@ -25,6 +26,7 @@ class TestPriorFit:
         assert final_nll < 2.15, f"NLL {final_nll} too far from entropy bound"
         assert record[0]["loss"] > final_nll
 
+    @pytest.mark.slow
     def test_cli_saves_weights_and_record(self, tmp_path):
         rng = np.random.default_rng(1)
         data_path = str(tmp_path / "data.npy")

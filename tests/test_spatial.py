@@ -15,6 +15,11 @@ from nic_tpu.infer.methods import DANNEAL, MAP, SGA, UNOISE
 from nic_tpu.models.mbt2018 import MeanScaleHyperprior
 from nic_tpu.parallel.spatial import SpatialLatentOptimizer
 
+# Heavy compile load on the 1-core CI host (each test jits sharded programs
+# over an 8-device mesh); the whole module runs in the `-m slow` pass. The
+# default suite keeps spatial smoke coverage via the driver dryrun.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -35,6 +35,7 @@ def batches(cfg, n=100):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_runs_on_8_device_mesh(self, tmp_path):
         assert jax.device_count() >= 8
         assert data_mesh().devices.size == 8
@@ -45,6 +46,7 @@ class TestTrainer:
         metrics_file = os.path.join(trainer.save_dir, "metrics.jsonl")
         assert os.path.exists(metrics_file)
 
+    @pytest.mark.slow
     def test_loss_decreases(self, tmp_path):
         cfg = make_cfg(tmp_path, last_step=30, lmbda=0.1, log_every=30)
         trainer = Trainer(cfg)
@@ -62,6 +64,7 @@ class TestTrainer:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_dual_optimizer_moves_quantiles(self, tmp_path):
         cfg = make_cfg(tmp_path, last_step=3)
         trainer = Trainer(cfg)
@@ -71,6 +74,7 @@ class TestTrainer:
         q1 = np.array(state.params["entropy_bottleneck"]["quantiles"])
         assert not np.allclose(q0, q1), "aux optimizer should move quantiles"
 
+    @pytest.mark.slow
     def test_checkpoint_resume(self, tmp_path):
         cfg = make_cfg(tmp_path, last_step=2)
         trainer = Trainer(cfg)
@@ -82,12 +86,14 @@ class TestTrainer:
         state2 = trainer2.fit(iter(batches(cfg2)), verbose=False)
         assert int(state2.step) == 5
 
+    @pytest.mark.slow
     def test_bb_trainer_single_optimizer(self, tmp_path):
         cfg = make_cfg(tmp_path, model="mbt2018_bb", last_step=2)
         trainer = Trainer(cfg)
         state = trainer.fit(iter(batches(cfg)), verbose=False)
         assert int(state.step) == 2
 
+    @pytest.mark.slow
     def test_msssim_objective(self, tmp_path):
         """MS-SSIM distortion: trains, reports the metric, names the run."""
         # 192 = smallest multiple of 64 (training shape-alignment, same
@@ -111,6 +117,7 @@ class TestTrainer:
         expected = cfg.lmbda * (1.0 - float(m["msssim"])) + float(m["bpp"])
         np.testing.assert_allclose(float(m["loss"]), expected, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_grad_clip_bounds_update_norm(self, tmp_path):
         # With a tiny clip the parameter update per step is bounded by
         # lr * sqrt(n_params) (Adam normalizes per-coordinate, so the bound
@@ -136,6 +143,7 @@ class TestTrainer:
         with pytest.raises(ValueError, match="patchsize"):
             Trainer(make_cfg(tmp_path, distortion="msssim", patchsize=64))
 
+    @pytest.mark.slow
     def test_params_only_restore_ignores_opt_state_structure(self, tmp_path):
         # A checkpoint written WITH grad_clip (chain-wrapped opt_state) must
         # load on an inference path built WITHOUT it, and vice versa.
@@ -151,6 +159,7 @@ class TestTrainer:
         leaves_b = jax.tree.leaves(trained)
         assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
+    @pytest.mark.slow
     def test_divergence_guard(self, tmp_path):
         # A random-init model's first-step loss is ~O(100); a threshold of
         # 1.0 must trip the guard even though the loss is finite.
@@ -182,6 +191,7 @@ class TestCheckpoint:
         np.testing.assert_allclose(restored["b"]["c"], state["b"]["c"])
 
 
+@pytest.mark.slow
 class TestTensorBoardSummaries:
     def test_tb_logdir_writes_events_and_images(self, tmp_path):
         pytest.importorskip("tensorflow")
@@ -195,6 +205,7 @@ class TestTensorBoardSummaries:
         assert events, "TensorBoard event files should be written"
 
 
+@pytest.mark.slow
 class TestStepsPerCall:
     def test_multi_step_matches_single_step(self, tmp_path):
         """Fusing k steps per device call must advance training identically
