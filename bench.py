@@ -278,28 +278,59 @@ def main(argv):
     if "--decode" in argv:
         # Serving-side metric: full mbt2018 decompress wall (host rANS +
         # device h_s/g_s), per image — the reference's only decoder path
-        # (mbt2018.py:248-295). Not the headline number; printed for
-        # NEXT/VALIDATION tracking.
+        # (mbt2018.py:248-295). A/Bs the single whole-batch rANS stream
+        # (reference PackedTensors shape) against per-image streams decoded
+        # by C++ threads, and reports a host-rANS vs device-time breakdown
+        # so the serving bottleneck is attributable (VERDICT r2 item 6).
         import numpy as np
 
         from nic_tpu.coding.codec import HyperpriorCodec
 
         codec = HyperpriorCodec(model, params)
         xs = np.asarray(x[:4])
-        blob, _ = codec.compress(xs)
-        codec.decompress(blob)  # warm compiles
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            codec.decompress(blob)
-            best = min(best, time.perf_counter() - t0)
+
+        host_rans_s = [0.0]
+        orig_decode, orig_decode_batch = codec.coder.decode, codec.coder.decode_batch
+
+        def _timed(fn):
+            def wrapped(*a, **k):
+                t0 = time.perf_counter()
+                out = fn(*a, **k)
+                host_rans_s[0] += time.perf_counter() - t0
+                return out
+
+            return wrapped
+
+        codec.coder.decode = _timed(orig_decode)
+        codec.coder.decode_batch = _timed(orig_decode_batch)
+
+        results = {}
+        for variant, parallel in (("single_stream", False), ("per_image_streams", True)):
+            blob, _ = codec.compress(xs, parallel=parallel)
+            codec.decompress(blob)  # warm compiles
+            best, best_host = float("inf"), 0.0
+            for _ in range(3):
+                host_rans_s[0] = 0.0
+                t0 = time.perf_counter()
+                codec.decompress(blob)
+                dt = time.perf_counter() - t0
+                if dt < best:
+                    best, best_host = dt, host_rans_s[0]
+            results[variant] = {
+                "images_per_sec": round(xs.shape[0] / best, 3),
+                "wall_s": round(best, 3),
+                "host_rans_s": round(best_host, 3),
+                "device_and_other_s": round(best - best_host, 3),
+                "stream_bytes": len(blob),
+            }
         print(
             json.dumps(
                 {
                     "metric": f"mbt2018 decompress ({h}x{w}, nf=192)",
-                    "value": round(xs.shape[0] / best, 3),
+                    "value": results["single_stream"]["images_per_sec"],
                     "unit": "images/sec/chip",
                     "batch": xs.shape[0],
+                    **results,
                 }
             )
         )
