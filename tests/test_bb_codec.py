@@ -154,6 +154,7 @@ class TestBitsBackCodec:
         assert b1 == b2
 
 
+@pytest.mark.slow  # fixture setup alone costs ~41s on this 1-core host
 class TestOptimizedPosteriorCodec:
     """Decodable *optimized* posteriors (beyond the reference, whose
     optimized-posterior bits-back rates stay estimates): posterior-parameter

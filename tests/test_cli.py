@@ -37,6 +37,8 @@ def _common(workspace, script, cmd, *extra):
 
 
 class TestCLI:
+    @pytest.mark.slow  # ~49s: full train->compress->decompress; the sga
+    # CLI round-trip tests below keep compress/decompress in the fast gate.
     def test_train_compress_decompress(self, workspace):
         runname = "mbt2018-num_filters=4-lmbda=0.01"
         main(

@@ -253,11 +253,17 @@ class TestSupervisor:
 
         calls = []
 
-        def fake_call(cmd, env=None):
-            calls.append(cmd)
-            return 1 if len(calls) < 3 else 0
+        class FakeProc:
+            def __init__(self, cmd, env=None):
+                calls.append(cmd)
 
-        monkeypatch.setattr(supervisor.subprocess, "call", fake_call)
+            def wait(self):
+                return 1 if len(calls) < 3 else 0
+
+            def poll(self):
+                return 0
+
+        monkeypatch.setattr(supervisor.subprocess, "Popen", FakeProc)
         rc = supervisor.supervise(["mbt2018", "train"], retries=3,
                                   backoff_secs=0.0)
         assert rc == 0
@@ -267,7 +273,49 @@ class TestSupervisor:
     def test_exhausted_retries_reports_failure(self, monkeypatch):
         from nic_tpu.train import supervisor
 
-        monkeypatch.setattr(
-            supervisor.subprocess, "call", lambda cmd, env=None: 7
-        )
+        class FailProc:
+            def __init__(self, cmd, env=None):
+                pass
+
+            def wait(self):
+                return 7
+
+            def poll(self):
+                return 7
+
+        monkeypatch.setattr(supervisor.subprocess, "Popen", FailProc)
         assert supervisor.supervise(["x"], retries=1, backoff_secs=0.0) == 7
+
+    def test_sigterm_forwarded_to_child_and_stops_retries(self, monkeypatch):
+        """timeout(1) around `--retries N` signals only the supervisor; the
+        child must be terminated too or an orphaned trainer keeps the one
+        TPU chip busy."""
+        import signal as _signal
+
+        from nic_tpu.train import supervisor
+
+        events = []
+
+        class HangingProc:
+            def __init__(self, cmd, env=None):
+                self._terminated = False
+
+            def poll(self):
+                return None if not self._terminated else 143
+
+            def terminate(self):
+                self._terminated = True
+                events.append("terminated")
+
+            def wait(self):
+                # Simulate the wrapper's SIGTERM arriving mid-run.
+                os.kill(os.getpid(), _signal.SIGTERM)
+                # Handler runs synchronously on this thread; by the time
+                # kill() returns the child must have been terminated.
+                assert self._terminated
+                return 143
+
+        monkeypatch.setattr(supervisor.subprocess, "Popen", HangingProc)
+        rc = supervisor.supervise(["x"], retries=5, backoff_secs=0.0)
+        assert rc == 143
+        assert events == ["terminated"]
