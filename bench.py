@@ -54,13 +54,22 @@ def _run_with_retry(extra_args) -> int:
     occasionally kills the worker process mid-run, which poisons the JAX
     client — a fresh process is the only recovery."""
     env = dict(os.environ, **{_INNER_ENV: "1"})
-    for attempt in range(2):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *extra_args],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *extra_args],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3000,  # a down tunnel hangs dispatches; don't hang
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench attempt {attempt + 1} timed out (tunnel outage?); "
+                "retrying in 120s...\n"
+            )
+            time.sleep(120)
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
