@@ -24,7 +24,7 @@ L=/root/repo/train_logs
 mkdir -p $L results/synth2 results/synth2_large
 
 # Hard deadline: leave >1h of chip headroom before the driver's bench run.
-DEADLINE=${DEADLINE:-$(( $(date +%s) + 36000 ))}   # default: now + 10h
+DEADLINE=${DEADLINE:-$(date -d '2026-08-18 10:45' +%s)}
 
 log() { echo "[$(date '+%F %T')] $*" >> $L/round3_pipeline.log; }
 
@@ -106,6 +106,13 @@ measure_phase() {
     --eval_npy data_synth2/eval.npy \
     > results/int8_ab_rd_r3.json 2>> $L/r3-measure.log
   log "MEASURE int8-rd rc=$?"
+  # Parity artifact: the reference's SGA-landscape figure on the real
+  # nf=192 checkpoint (reference ships results/sga_landscape.png).
+  timeout 1800 python scripts/sga_landscape.py data_synth2/eval.npy \
+    --checkpoint_dir checkpoints_val2 \
+    --runname mbt2018-num_filters=192-lmbda=0.01 --num_filters 192 \
+    --its 2000 --out results/sga_landscape.png >> $L/r3-measure.log 2>&1
+  log "MEASURE landscape rc=$?"
   touch $L/MEASURE_DONE
 }
 
