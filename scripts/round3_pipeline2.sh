@@ -78,8 +78,17 @@ eval_phase() {
     --methods amortized,sga --its 2000 --num_filters 192 \
     >> $L/r3-eval-$tag-large.log 2>&1
   log "EVAL $tag synth2_large rc=$?"
+  # Real photographs (bundled JPEGs, scripts/make_photo_eval.py): the only
+  # non-synthetic content available offline; compared against the Kodak
+  # golden curve in the BD report.
+  python scripts/rd_curve.py data_real/eval_photos.npy \
+    --checkpoint_dir checkpoints_val2 --out results/photos \
+    --methods amortized,sga --its 2000 --num_filters 192 \
+    >> $L/r3-eval-$tag-photos.log 2>&1
+  log "EVAL $tag photos rc=$?"
   { python scripts/bd_report.py results/synth2
     python scripts/bd_report.py results/synth2_large --dataset tecnick
+    python scripts/bd_report.py results/photos
   } > results/synth2/bd_report_$tag.md 2>> $L/r3-eval-$tag.log
   log "EVAL $tag bd_report rc=$?"
   touch $L/EVAL_${tag}_DONE
