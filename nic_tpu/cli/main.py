@@ -159,6 +159,16 @@ def build_parser() -> argparse.ArgumentParser:
         c.add_argument("runname")
         c.add_argument("input_file")
         c.add_argument("output_file", nargs="?")
+        c.add_argument(
+            "--quant", choices=("none", "int8", "int8_all"), default="none",
+            help="Dynamic-quantized int8 convolutions for the frozen-weight "
+            "transforms (mbt2018 only; ops/int8conv.py). int8 quantizes the "
+            "decode-side forward convs; int8_all additionally runs the "
+            "input-cotangent conv of the 5x5/up2 layers in int8 during "
+            "optimization. The decoder recomputes coding distributions "
+            "through h_s, so compress and decompress MUST use the same "
+            "--quant value. RD effect measured in VALIDATION.md.",
+        )
     return parser
 
 
@@ -182,7 +192,13 @@ def _load_params(args, model_name: str):
             f"WARNING: no checkpoint under {trainer.save_dir}; using random init.",
             file=sys.stderr,
         )
-    return trainer.model, params
+    model = trainer.model
+    quant = getattr(args, "quant", "none")
+    if quant and quant != "none":
+        if model_name != "mbt2018":
+            raise SystemExit("--quant supports the mbt2018 model only")
+        model = model.clone(quant=quant)
+    return model, params
 
 
 def run_train(args, argv=None):

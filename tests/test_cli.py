@@ -108,6 +108,28 @@ class TestCLI:
         assert np.isfinite(bundle["est_bpp"]).all()
 
     @pytest.mark.slow
+    def test_quant_int8_compress_decompress_roundtrip(self, workspace):
+        """--quant int8 on both sides: the decoder recomputes mu/sigma
+        through the same int8 h_s, so the stream must round-trip."""
+        runname = "mbt2018-num_filters=4-lmbda=0.01"
+        out = str(workspace / "q.ntc")
+        main(
+            _common(
+                workspace, "mbt2018", "compress", "--quant", "int8",
+                runname, str(workspace / "test.png"), out,
+            )
+        )
+        png = str(workspace / "q_out.png")
+        main(
+            _common(
+                workspace, "mbt2018", "decompress", "--quant", "int8",
+                runname, out, png,
+            )
+        )
+        img = np.asarray(Image.open(png))
+        assert img.shape == (64, 64, 3)
+
+    @pytest.mark.slow
     def test_sga_compress_spatial_cli(self, workspace):
         """--spatial shards a single image's rows across the mesh and must
         produce the same results-bundle surface as the batch path."""
