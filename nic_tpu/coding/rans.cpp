@@ -44,6 +44,69 @@ inline int64_t unzigzag(uint32_t z) {
   return static_cast<int64_t>(z >> 1) ^ -static_cast<int64_t>(z & 1);
 }
 
+// --------------------------------------------------- decode bucket index
+//
+// Decode spends most of its time binary-searching the CDF row for the slot
+// (the encoder indexes directly). When rows are reused many times (the
+// mbt2018 tables: 64 scale rows for y, one row per channel for z, ~1.2k
+// symbols/row on a Kodak-sized image), a per-row coarse index — for each
+// 2^(precision-8)-wide slot bucket, the symbol bracket it can fall in —
+// shrinks the search to a couple of entries. Rows used ~once (the
+// bits-back per-element posterior tables) skip it: building would cost
+// more than it saves; see the n >= 4*rows gate at the call sites.
+
+constexpr int32_t kBucketBits = 8;  // 2^8 buckets per row
+
+struct BucketIndex {
+  std::vector<int32_t> lo;  // (rows, n_buckets + 1): symbol bracket starts
+  int32_t n_buckets = 0;
+  int32_t shift = 0;
+
+  // Rows with invalid CDFs get lo[0] = -1 (decode falls back to a full
+  // binary search and then reports the error as before).
+  void build(const uint32_t* cdfs, int64_t stride, const int32_t* cdf_sizes,
+             int32_t rows, int32_t precision) {
+    shift = precision > kBucketBits ? precision - kBucketBits : 0;
+    n_buckets = 1 << (precision - shift);
+    const uint32_t prec_total = 1u << precision;
+    lo.assign(static_cast<size_t>(rows) * (n_buckets + 1), 0);
+    for (int32_t r = 0; r < rows; ++r) {
+      int32_t* bl = lo.data() + static_cast<size_t>(r) * (n_buckets + 1);
+      const uint32_t* cdf = cdfs + r * stride;
+      const int32_t size = cdf_sizes[r];
+      if (size < 2 || cdf[size] != prec_total) {
+        bl[0] = -1;
+        continue;
+      }
+      int32_t s = 0;
+      for (int32_t b = 0; b <= n_buckets; ++b) {
+        const uint32_t target = static_cast<uint32_t>(b) << shift;
+        while (s + 1 < size && cdf[s + 1] <= target) ++s;
+        bl[b] = s;
+      }
+    }
+  }
+
+  // Bracket [lo, hi) for a slot in row r; assumes a valid built row.
+  inline void bracket(int32_t r, uint32_t slot, int32_t* out_lo,
+                      int32_t* out_hi) const {
+    const int32_t* bl = lo.data() + static_cast<size_t>(r) * (n_buckets + 1);
+    const uint32_t b = slot >> shift;
+    *out_lo = bl[b];
+    *out_hi = bl[b + 1] + 1;
+  }
+
+  inline bool row_ok(int32_t r) const {
+    return lo[static_cast<size_t>(r) * (n_buckets + 1)] >= 0;
+  }
+};
+
+inline int32_t max_row(const int32_t* indexes, int64_t n) {
+  int32_t m = -1;
+  for (int64_t i = 0; i < n; ++i) m = std::max(m, indexes[i]);
+  return m;
+}
+
 }  // namespace
 
 extern "C" {
@@ -119,11 +182,17 @@ int64_t rans_encode(const int32_t* symbols, const int32_t* indexes, int64_t n,
   return total;
 }
 
-// Decodes n symbols; returns n on success, negative on error.
-int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
+}  // extern "C"
+
+namespace {
+
+// Decodes n symbols; returns n on success, negative on error. `bi` (may be
+// null) narrows the per-symbol CDF search to a bucket bracket.
+int64_t decode_impl(const uint8_t* bytes, int64_t nbytes,
                     const int32_t* indexes, int64_t n, const uint32_t* cdfs,
                     int64_t stride, const int32_t* cdf_sizes,
-                    int32_t precision, int32_t* out_symbols) {
+                    int32_t precision, int32_t* out_symbols,
+                    const BucketIndex* bi) {
   if (precision < 8 || precision > 16) return -2;
   if (nbytes < 4) return -3;
   const uint32_t prec_total = 1u << precision;
@@ -153,8 +222,10 @@ int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
     if (size < 2 || cdf[size] != prec_total) return -2;
 
     const uint32_t slot = state & mask;
-    // Binary search: find s with cdf[s] <= slot < cdf[s+1].
+    // Find s with cdf[s] <= slot < cdf[s+1]: binary search, narrowed to
+    // the bucket bracket when the index is available.
     int32_t lo = 0, hi = size;
+    if (bi && bi->row_ok(row)) bi->bracket(row, slot, &lo, &hi);
     while (hi - lo > 1) {
       const int32_t mid = (lo + hi) >> 1;
       if (cdf[mid] <= slot) lo = mid;
@@ -187,6 +258,36 @@ int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
   }
   return n;
 }
+
+// Build the bucket index only when rows are reused enough to amortize it
+// (~size+256 ops/row to build vs ~10 saved ops/use; 4 uses/row is already
+// past break-even). The bits-back per-element tables (one row per symbol)
+// stay on the plain binary search.
+inline bool want_bucket_index(int64_t n, int32_t rows) {
+  return rows > 0 && n >= 4 * static_cast<int64_t>(rows);
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rans_decode(const uint8_t* bytes, int64_t nbytes,
+                    const int32_t* indexes, int64_t n, const uint32_t* cdfs,
+                    int64_t stride, const int32_t* cdf_sizes,
+                    int32_t precision, int32_t* out_symbols) {
+  if (precision < 8 || precision > 16) return -2;
+  const int32_t rows = max_row(indexes, n) + 1;
+  if (want_bucket_index(n, rows)) {
+    BucketIndex bi;
+    bi.build(cdfs, stride, cdf_sizes, rows, precision);
+    return decode_impl(bytes, nbytes, indexes, n, cdfs, stride, cdf_sizes,
+                       precision, out_symbols, &bi);
+  }
+  return decode_impl(bytes, nbytes, indexes, n, cdfs, stride, cdf_sizes,
+                     precision, out_symbols, nullptr);
+}
+
+}  // extern "C"
 
 // ------------------------------------------------------------- rANS stack
 //
@@ -320,6 +421,8 @@ int64_t rans_stack_decode(void* handle, const int32_t* indexes, int64_t n,
 // this is the host-side throughput path for production serving, where the
 // device forward is fast and entropy coding would otherwise serialize.
 
+extern "C" {
+
 int64_t rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
                           int64_t n_per_item, int32_t n_items,
                           const uint32_t* cdfs, int64_t stride,
@@ -391,11 +494,20 @@ int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* offsets,
                           const uint32_t* cdfs, int64_t stride,
                           const int32_t* cdf_sizes, int32_t precision,
                           int32_t* out_symbols, int32_t n_threads) {
+  if (precision < 8 || precision > 16) return -2;
+  // One shared bucket index across all items (read-only during decode).
+  const int32_t rows =
+      max_row(indexes, n_per_item * static_cast<int64_t>(n_items)) + 1;
+  BucketIndex bi;
+  const bool use_bi =
+      want_bucket_index(n_per_item * static_cast<int64_t>(n_items), rows);
+  if (use_bi) bi.build(cdfs, stride, cdf_sizes, rows, precision);
   std::atomic<int64_t> status(0);
   parallel_for_items(n_items, n_threads, [&](int32_t i) {
-    const int64_t r = rans_decode(
+    const int64_t r = decode_impl(
         bytes + offsets[i], sizes[i], indexes + i * n_per_item, n_per_item,
-        cdfs, stride, cdf_sizes, precision, out_symbols + i * n_per_item);
+        cdfs, stride, cdf_sizes, precision, out_symbols + i * n_per_item,
+        use_bi ? &bi : nullptr);
     if (r != n_per_item) status.store(r < 0 ? r : -5);
   });
   return status.load();

@@ -69,6 +69,30 @@ class TestRansRoundtrip:
         back = table.values_from_symbols(decoded, indexes)
         np.testing.assert_array_equal(back, values)
 
+    def test_bucket_index_path_roundtrip_with_escapes(self, coder, rng):
+        """Large-n decode takes the per-row bucket-index search (built when
+        n >= 4*rows, rans.cpp want_bucket_index); must agree bit-for-bit
+        with the small-n binary-search path, escapes included."""
+        table = make_gaussian_table()
+        rows = table.cdf_sizes.shape[0]
+        n = 64 * rows  # well past the 4*rows gate
+        indexes = rng.integers(0, rows, n).astype(np.int32)
+        scales = np.array([0.5, 1.0, 4.0, 16.0])[indexes % 4]
+        values = np.round(rng.normal(0, scales)).astype(np.int32)
+        values[:: n // 37] = 5000  # force escape/bypass codes throughout
+        values[1:: n // 41] = -7777
+        symbols = table.symbols_from_values(values, indexes)
+        data = coder.encode(symbols, indexes, table.cdfs, table.cdf_sizes)
+        decoded = coder.decode(data, indexes, table.cdfs, table.cdf_sizes)
+        back = table.values_from_symbols(decoded, indexes)
+        np.testing.assert_array_equal(back, values)
+        # The same stream decoded per-chunk (n < 4*rows, plain search) must
+        # not exist — instead cross-check by re-encoding the decoded
+        # symbols: identical bytes prove identical symbol recovery.
+        assert coder.encode(
+            decoded, indexes, table.cdfs, table.cdf_sizes
+        ) == data
+
     def test_rate_close_to_entropy(self, coder, rng):
         """Actual bits within a few percent of the model entropy."""
         table = make_gaussian_table(scales=(2.0,), width=32)
