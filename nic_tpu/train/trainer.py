@@ -189,6 +189,23 @@ class Trainer:
         state's tree structure (which changes with --grad_clip).
         """
         if ckpt_lib.latest_step(self.save_dir) is None:
+            npz = ckpt_lib.latest_npz(self.save_dir)
+            if npz is not None:
+                # Git-committed archive (survives round resets; see
+                # checkpoint.export_params_npz). Validate the tree against a
+                # freshly-initialized one so a stale archive fails loudly.
+                step, params = ckpt_lib.load_params_npz(npz)
+                template = self.init_state().params
+                jax.tree_util.tree_map(
+                    lambda a, b: None
+                    if a.shape == b.shape
+                    else (_ for _ in ()).throw(
+                        ValueError(f"{npz}: shape mismatch {a.shape} vs {b.shape}")
+                    ),
+                    jax.tree_util.tree_map(jnp.asarray, params),
+                    template,
+                )
+                return step, jax.tree_util.tree_map(jnp.asarray, params)
             return 0, self.init_state().params
         raw = ckpt_lib.restore_raw(self.save_dir)
         return int(raw["step"]), raw["params"]
@@ -437,5 +454,10 @@ class Trainer:
                     ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
                     last_ckpt = now
         if is_writer:
-            ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
+            host_state = jax.device_get(state)
+            ckpt_lib.save_checkpoint(self.save_dir, step, host_state)
+            # Durable, git-committable weights archive alongside the orbax
+            # tree (orbax dirs are untracked and do not survive round
+            # resets; the npz does — see checkpoint.export_params_npz).
+            ckpt_lib.export_params_npz(self.save_dir, step, host_state.params)
         return state

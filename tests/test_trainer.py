@@ -159,6 +159,28 @@ class TestTrainer:
         leaves_b = jax.tree.leaves(trained)
         assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
+    def test_npz_archive_survives_orbax_deletion(self, tmp_path):
+        # fit() writes a durable params-<step>.npz next to the orbax tree;
+        # with the orbax checkpoints gone (round reset: only git-tracked
+        # files survive), restore_params_only falls back to the archive.
+        import shutil
+
+        cfg = make_cfg(tmp_path, last_step=2, num_devices=1, batchsize=2)
+        trainer = Trainer(cfg)
+        trainer.fit(iter(batches(cfg)), verbose=False)
+        trained = trainer.restore_or_init().params
+        npz = os.path.join(trainer.save_dir, "params-2.npz")
+        assert os.path.exists(npz)
+        for name in os.listdir(trainer.save_dir):
+            if name.startswith("ckpt-"):
+                shutil.rmtree(os.path.join(trainer.save_dir, name))
+        fresh = Trainer(make_cfg(tmp_path, num_devices=1, batchsize=2))
+        step, params = fresh.restore_params_only()
+        assert step == 2
+        leaves_a = jax.tree.leaves(params)
+        leaves_b = jax.tree.leaves(trained)
+        assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
     @pytest.mark.slow
     def test_divergence_guard(self, tmp_path):
         # A random-init model's first-step loss is ~O(100); a threshold of
