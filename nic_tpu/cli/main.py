@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         "last good checkpoint instead of training a ruined model.",
     )
     train_cmd.add_argument(
+        "--init_from", default="",
+        help="Warm-start a NEW run's params from another run's checkpoint "
+        "directory (e.g. checkpoints/mbt2018-num_filters=192-lmbda=0.01). "
+        "Fresh optimizer, step 0; used to finetune nearby rate points from "
+        "one from-scratch model. Ignored once this run has checkpoints.",
+    )
+    train_cmd.add_argument(
         "--retries", type=int, default=0,
         help="Re-exec training in a fresh process up to N times on crash, "
         "resuming from the latest checkpoint (train/supervisor.py); needed "
@@ -233,6 +240,7 @@ def run_train(args, argv=None):
         steps_per_call=args.steps_per_call,
         grad_clip=args.grad_clip,
         divergence_threshold=args.divergence_threshold,
+        init_from=args.init_from,
     )
     # Each host's pipeline feeds its local share of the global batch
     # (Trainer.fit stitches shards via make_global_batch).

@@ -64,9 +64,9 @@ class ThroughputMeter:
         self._images = 0
         self._steps = 0
 
-    def update(self, batch_images: int):
+    def update(self, batch_images: int, steps: int = 1):
         self._images += batch_images
-        self._steps += 1
+        self._steps += steps
 
     def rates(self) -> Dict[str, float]:
         dt = max(time.perf_counter() - self._t0, 1e-9)

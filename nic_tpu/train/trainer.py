@@ -76,6 +76,13 @@ class TrainConfig:
     log_every: int = 100
     logdir: str = ""
     num_devices: Optional[int] = None
+    # Warm-start: checkpoint dir of another finished run whose params seed
+    # this run's initial state (fresh optimizer, step 0). Used to finetune
+    # nearby rate points from one from-scratch model: a new lambda converges
+    # in a small fraction of the from-scratch budget when started from a
+    # trained model (the transforms transfer; only the rate balance moves).
+    # Ignored once this run has its own checkpoint (resume wins).
+    init_from: str = ""
     # Train steps fused into one device program (lax.scan over stacked
     # batches): amortizes per-dispatch overhead, which dominates single
     # steps on remote-attached TPUs. 1 = one dispatch per step.
@@ -212,6 +219,49 @@ class Trainer:
 
     def restore_or_init(self) -> TrainState:
         state = self.init_state()
+        if (
+            ckpt_lib.latest_step(self.save_dir) is None
+            and ckpt_lib.latest_npz(self.save_dir) is None
+            and self.cfg.init_from
+        ):
+            # Warm-start a new run from another run's trained params (see
+            # TrainConfig.init_from). Fresh optimizer/rng/step=0: only the
+            # weights transfer. Restart-safe: once this run checkpoints,
+            # resume takes precedence and init_from is never re-applied.
+            import dataclasses
+
+            donor = Trainer(
+                dataclasses.replace(
+                    self.cfg,
+                    checkpoint_dir=os.path.dirname(
+                        os.path.abspath(self.cfg.init_from)
+                    ),
+                    runname=os.path.basename(os.path.normpath(self.cfg.init_from)),
+                    init_from="",
+                )
+            )
+            step, params = donor.restore_params_only()
+            if step == 0:
+                raise FileNotFoundError(
+                    f"--init_from {self.cfg.init_from}: no trained checkpoint"
+                )
+            print(f"Warm-starting params from {self.cfg.init_from} (step {step})")
+            state = state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params)
+            )
+        if ckpt_lib.latest_step(self.save_dir) is None:
+            npz = ckpt_lib.latest_npz(self.save_dir)
+            if npz is not None:
+                # Only the committed npz archive survived (round reset). No
+                # optimizer state in it: resume with trained params at the
+                # recorded step and fresh Adam moments — a brief re-warmup
+                # beats losing the run.
+                step, params = ckpt_lib.load_params_npz(npz)
+                print(f"Resuming params (fresh optimizer) from {npz}")
+                return state.replace(
+                    step=jnp.asarray(step, jnp.int32),
+                    params=jax.tree_util.tree_map(jnp.asarray, params),
+                )
         if ckpt_lib.latest_step(self.save_dir) is not None:
             try:
                 state = ckpt_lib.restore_checkpoint(self.save_dir, state)
@@ -399,7 +449,9 @@ class Trainer:
                 )
             state, metrics = step_fn(state, batch)
             step += this
-            meter.update(cfg.batchsize * this)
+            # One fused device call advances `this` optimizer steps; count
+            # them all or steps_per_sec reports calls/sec (64x low).
+            meter.update(cfg.batchsize * this, steps=this)
             if step % cfg.log_every == 0 or step == cfg.last_step:
                 metrics = jax.device_get(metrics)
                 loss = float(metrics["loss"])
@@ -451,7 +503,15 @@ class Trainer:
                     )
                     last_image_summary = now
                 if is_writer and now - last_ckpt >= cfg.save_checkpoint_secs:
-                    ckpt_lib.save_checkpoint(self.save_dir, step, jax.device_get(state))
+                    host_state = jax.device_get(state)
+                    ckpt_lib.save_checkpoint(self.save_dir, step, host_state)
+                    # Refresh the durable npz archive too (a run cut short by
+                    # the session deadline must still leave committable
+                    # weights); keep only the newest to bound repo size.
+                    prev = ckpt_lib.latest_npz(self.save_dir)
+                    ckpt_lib.export_params_npz(self.save_dir, step, host_state.params)
+                    if prev is not None:
+                        os.remove(prev)
                     last_ckpt = now
         if is_writer:
             host_state = jax.device_get(state)
@@ -459,5 +519,10 @@ class Trainer:
             # Durable, git-committable weights archive alongside the orbax
             # tree (orbax dirs are untracked and do not survive round
             # resets; the npz does — see checkpoint.export_params_npz).
+            prev = ckpt_lib.latest_npz(self.save_dir)
             ckpt_lib.export_params_npz(self.save_dir, step, host_state.params)
+            if prev is not None and prev != os.path.join(
+                self.save_dir, f"params-{step}.npz"
+            ):
+                os.remove(prev)
         return state

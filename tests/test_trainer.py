@@ -181,6 +181,39 @@ class TestTrainer:
         leaves_b = jax.tree.leaves(trained)
         assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
+    def test_init_from_warm_starts_params(self, tmp_path):
+        # A new lambda run seeded from a donor run starts from the donor's
+        # trained params (step 0, fresh optimizer) — the rate-point
+        # finetuning path. Resume precedence: once the new run has its own
+        # checkpoint, init_from is ignored.
+        donor_cfg = make_cfg(tmp_path, last_step=2, num_devices=1, batchsize=2)
+        donor = Trainer(donor_cfg)
+        donor.fit(iter(batches(donor_cfg)), verbose=False)
+        donor_params = donor.restore_or_init().params
+
+        ft_cfg = make_cfg(
+            tmp_path, lmbda=0.04, last_step=1, num_devices=1, batchsize=2,
+            init_from=donor.save_dir,
+        )
+        ft = Trainer(ft_cfg)
+        state = ft.restore_or_init()
+        assert int(state.step) == 0
+        leaves_a = jax.tree.leaves(state.params)
+        leaves_b = jax.tree.leaves(donor_params)
+        assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+        # Own checkpoint wins over init_from on restart.
+        ft.fit(iter(batches(ft_cfg)), verbose=False)
+        resumed = Trainer(ft_cfg).restore_or_init()
+        assert int(resumed.step) == 1
+
+    def test_init_from_missing_donor_fails(self, tmp_path):
+        cfg = make_cfg(
+            tmp_path, last_step=1, num_devices=1, batchsize=2,
+            init_from=str(tmp_path / "nope"),
+        )
+        with pytest.raises(FileNotFoundError, match="init_from"):
+            Trainer(cfg).restore_or_init()
+
     @pytest.mark.slow
     def test_divergence_guard(self, tmp_path):
         # A random-init model's first-step loss is ~O(100); a threshold of
