@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
         "one from-scratch model. Ignored once this run has checkpoints.",
     )
     train_cmd.add_argument(
+        "--init_from_partial", action="store_true",
+        help="With --init_from: transfer only path+shape-matching leaves "
+        "(cross-model warm-start, e.g. mbt2018_bb from mbt2018); the rest "
+        "stay fresh-initialized.",
+    )
+    train_cmd.add_argument(
         "--retries", type=int, default=0,
         help="Re-exec training in a fresh process up to N times on crash, "
         "resuming from the latest checkpoint (train/supervisor.py); needed "
@@ -241,6 +247,7 @@ def run_train(args, argv=None):
         grad_clip=args.grad_clip,
         divergence_threshold=args.divergence_threshold,
         init_from=args.init_from,
+        init_from_partial=args.init_from_partial,
     )
     # Each host's pipeline feeds its local share of the global batch
     # (Trainer.fit stitches shards via make_global_batch).

@@ -83,6 +83,12 @@ class TrainConfig:
     # trained model (the transforms transfer; only the rate balance moves).
     # Ignored once this run has its own checkpoint (resume wins).
     init_from: str = ""
+    # With init_from: transfer only leaves whose path AND shape match,
+    # leaving the rest fresh-initialized (e.g. warm-start mbt2018_bb's
+    # shared g_a/g_s/h_s transforms from a trained mbt2018 whose h_a head
+    # and prior differ). Off by default so an architecture mismatch is an
+    # error, not a silent part-transfer.
+    init_from_partial: bool = False
     # Train steps fused into one device program (lax.scan over stacked
     # batches): amortizes per-dispatch overhead, which dominates single
     # steps on remote-attached TPUs. 1 = one dispatch per step.
@@ -228,27 +234,58 @@ class Trainer:
             # TrainConfig.init_from). Fresh optimizer/rng/step=0: only the
             # weights transfer. Restart-safe: once this run checkpoints,
             # resume takes precedence and init_from is never re-applied.
-            import dataclasses
+            donor_dir = os.path.abspath(self.cfg.init_from)
+            if ckpt_lib.latest_step(donor_dir) is not None:
+                raw = ckpt_lib.restore_raw(donor_dir)
+                step, donor_params = int(raw["step"]), raw["params"]
+            else:
+                npz = ckpt_lib.latest_npz(donor_dir)
+                if npz is None:
+                    raise FileNotFoundError(
+                        f"--init_from {self.cfg.init_from}: no trained checkpoint"
+                    )
+                step, donor_params = ckpt_lib.load_params_npz(npz)
+            donor_params = jax.tree_util.tree_map(jnp.asarray, donor_params)
+            if self.cfg.init_from_partial:
+                from flax import traverse_util
 
-            donor = Trainer(
-                dataclasses.replace(
-                    self.cfg,
-                    checkpoint_dir=os.path.dirname(
-                        os.path.abspath(self.cfg.init_from)
+                donor_flat = traverse_util.flatten_dict(donor_params, sep="/")
+                fresh_flat = traverse_util.flatten_dict(state.params, sep="/")
+                taken, kept = [], []
+                merged = {}
+                for k, v in fresh_flat.items():
+                    d = donor_flat.get(k)
+                    if d is not None and d.shape == v.shape:
+                        merged[k] = d.astype(v.dtype)
+                        taken.append(k)
+                    else:
+                        merged[k] = v
+                        kept.append(k)
+                print(
+                    f"Warm-starting (partial) from {self.cfg.init_from} "
+                    f"(step {step}): {len(taken)} leaves transferred, "
+                    f"{len(kept)} fresh: {kept}"
+                )
+                state = state.replace(
+                    params=traverse_util.unflatten_dict(merged, sep="/")
+                )
+            else:
+                jax.tree_util.tree_map(
+                    lambda a, b: None
+                    if a.shape == b.shape
+                    else (_ for _ in ()).throw(
+                        ValueError(
+                            f"--init_from shape mismatch {a.shape} vs {b.shape}"
+                            " (use init_from_partial for cross-model transfer)"
+                        )
                     ),
-                    runname=os.path.basename(os.path.normpath(self.cfg.init_from)),
-                    init_from="",
+                    donor_params,
+                    state.params,
                 )
-            )
-            step, params = donor.restore_params_only()
-            if step == 0:
-                raise FileNotFoundError(
-                    f"--init_from {self.cfg.init_from}: no trained checkpoint"
+                print(
+                    f"Warm-starting params from {self.cfg.init_from} (step {step})"
                 )
-            print(f"Warm-starting params from {self.cfg.init_from} (step {step})")
-            state = state.replace(
-                params=jax.tree_util.tree_map(jnp.asarray, params)
-            )
+                state = state.replace(params=donor_params)
         if ckpt_lib.latest_step(self.save_dir) is None:
             npz = ckpt_lib.latest_npz(self.save_dir)
             if npz is not None:

@@ -206,6 +206,42 @@ class TestTrainer:
         resumed = Trainer(ft_cfg).restore_or_init()
         assert int(resumed.step) == 1
 
+    def test_init_from_partial_cross_model(self, tmp_path):
+        # mbt2018_bb warm-starts its shared transforms (g_a/g_s/h_s and all
+        # but the 2N-output h_a head) from a trained mbt2018; the BMSHJ
+        # prior and mismatched head stay fresh. Strict mode refuses.
+        from flax import traverse_util
+
+        donor_cfg = make_cfg(tmp_path, last_step=1, num_devices=1, batchsize=2)
+        donor = Trainer(donor_cfg)
+        donor.fit(iter(batches(donor_cfg)), verbose=False)
+        donor_flat = traverse_util.flatten_dict(
+            donor.restore_or_init().params, sep="/"
+        )
+
+        bb_cfg = make_cfg(
+            tmp_path, model="mbt2018_bb", last_step=1, num_devices=1,
+            batchsize=2, init_from=donor.save_dir, init_from_partial=True,
+        )
+        state = Trainer(bb_cfg).restore_or_init()
+        bb_flat = traverse_util.flatten_dict(state.params, sep="/")
+        transferred = [
+            k for k, v in bb_flat.items()
+            if k in donor_flat and donor_flat[k].shape == v.shape
+        ]
+        assert len(transferred) >= 30
+        assert all(
+            np.allclose(bb_flat[k], donor_flat[k]) for k in transferred
+        )
+        assert any(k.startswith("hyper_prior/") for k in bb_flat)
+
+        strict = make_cfg(
+            tmp_path, model="mbt2018_bb", last_step=1, num_devices=1,
+            batchsize=2, init_from=donor.save_dir,
+        )
+        with pytest.raises(Exception):
+            Trainer(strict).restore_or_init()
+
     def test_init_from_missing_donor_fails(self, tmp_path):
         cfg = make_cfg(
             tmp_path, last_step=1, num_devices=1, batchsize=2,
