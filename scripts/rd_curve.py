@@ -34,7 +34,10 @@ def find_runs(checkpoint_dir: str, num_filters: int, model: str = "mbt2018"):
     )
     for d in sorted(glob.glob(os.path.join(checkpoint_dir, "*"))):
         m = pat.match(os.path.basename(d))
-        if m and glob.glob(os.path.join(d, "ckpt-*")):
+        if m and (
+            glob.glob(os.path.join(d, "ckpt-*"))
+            or glob.glob(os.path.join(d, "params-*.npz"))
+        ):
             runs.append((os.path.basename(d), float(m.group(1))))
     return runs
 
