@@ -44,3 +44,22 @@ class TestShardedInference:
         opt = LatentOptimizer(model, params, mesh=mesh)
         x = opt._place(jnp.zeros((8, 64, 64, 3)))
         assert len(x.sharding.device_set) == 8
+
+    def test_remainder_batch_warns_and_runs_replicated(self, setup):
+        # A batch that does not divide the mesh falls back to replicated
+        # execution — correct but 1/N throughput, so it must be loud
+        # (VERDICT r2 item 8).
+        model, params = setup
+        opt = LatentOptimizer(model, params, mesh=data_mesh())
+        with pytest.warns(UserWarning, match="runs replicated"):
+            x = opt._place(jnp.zeros((3, 64, 64, 3)))
+        assert x.sharding.is_fully_replicated
+
+    def test_divisible_batch_does_not_warn(self, setup):
+        import warnings
+
+        model, params = setup
+        opt = LatentOptimizer(model, params, mesh=data_mesh())
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            opt._place(jnp.zeros((8, 64, 64, 3)))
