@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     train_cmd.add_argument("--last_step", type=int, default=1_000_000)
     train_cmd.add_argument("--preprocess_threads", type=int, default=16)
+    train_cmd.add_argument(
+        "--data_pipeline", choices=("auto", "host", "device"), default="auto",
+        help="'device' keeps the whole (uniformly-sized) corpus in HBM and "
+        "samples crops on-chip — zero per-step host->device image bytes; "
+        "'host' is the threaded decode/crop pipeline; 'auto' (default) "
+        "picks 'device' for single-process runs whose decoded corpus fits "
+        "NIC_TPU_DEVICE_DATA_BUDGET (2 GiB).",
+    )
     train_cmd.add_argument("--logdir", default="")
     train_cmd.add_argument("--save_checkpoint_secs", type=int, default=300)
     train_cmd.add_argument("--save_summary_secs", type=int, default=60)
@@ -256,17 +264,64 @@ def run_train(args, argv=None):
     n_proc = jax.process_count()
     if args.batchsize % n_proc:
         sys.exit(f"--batchsize {args.batchsize} must divide by {n_proc} processes.")
-    pipeline = PatchPipeline(
+    trainer = Trainer(tc)
+    pipeline = _make_train_pipeline(args, trainer, n_proc)
+    try:
+        trainer.fit(pipeline, verbose=True)
+    finally:
+        pipeline.close()
+
+
+def _make_train_pipeline(args, trainer, n_proc):
+    """Pick the data path: HBM-resident on-device sampling when the corpus
+    fits (zero per-step host->device image bytes — the transfer, not
+    compute, bounds throughput over remote-TPU links), host worker threads
+    otherwise. `--data_pipeline` forces either."""
+    import jax
+
+    from nic_tpu.train.data import DeviceDataset, PatchPipeline
+
+    choice = args.data_pipeline
+    if choice == "auto" and n_proc == 1:
+        try:
+            import glob as globlib
+
+            from PIL import Image
+
+            files = sorted(globlib.glob(args.train_glob))
+            sizes = set()
+            total = 0
+            for f in files[:10000]:
+                if f.endswith(".npy"):
+                    raise ValueError("npy corpus: keep host pipeline")
+                with Image.open(f) as im:  # header-only read
+                    sizes.add(im.size)
+                    total += im.size[0] * im.size[1] * 3
+            budget = int(os.environ.get("NIC_TPU_DEVICE_DATA_BUDGET", 2 << 30))
+            if files and len(sizes) == 1 and total <= budget:
+                choice = "device"
+        except Exception:
+            pass
+    if choice == "device":
+        ds = DeviceDataset(
+            args.train_glob,
+            batchsize=args.batchsize,
+            patchsize=args.patchsize,
+            seed=0,
+            mesh=trainer.mesh,
+        )
+        print(
+            f"Device-resident dataset: {ds.num_images} images, "
+            f"{ds.nbytes / 1e6:.0f} MB in HBM; batches sampled on device."
+        )
+        return ds
+    return PatchPipeline(
         args.train_glob,
         batchsize=args.batchsize // n_proc,
         patchsize=args.patchsize,
         num_threads=args.preprocess_threads,
         seed=0 if n_proc == 1 else 1000 + jax.process_index(),
     )
-    try:
-        Trainer(tc).fit(pipeline, verbose=True)
-    finally:
-        pipeline.close()
 
 
 def _resolve_lmbda(args):

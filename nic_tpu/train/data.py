@@ -129,3 +129,125 @@ class PatchPipeline:
 
     def close(self):
         self._stop.set()
+
+
+class DeviceDataset:
+    """Whole-corpus-in-HBM training data: zero per-step host->device bytes.
+
+    The host pipeline ships ~12.6 MB of uint8 patches per 64-step fused call
+    (batch 8, patch 256); over a thin remote-TPU link that transfer, not
+    compute, bounds training throughput (measured: ~3 steps/s on a slow
+    tunnel day vs ~15+ compute-bound). When the corpus fits an HBM budget,
+    upload it ONCE as a (N, H, W, 3) uint8 array and sample random
+    image+crop batches on device with jax.random — the per-call host
+    traffic drops to one PRNG key.
+
+    Same sampling semantics as PatchPipeline (uniform file choice + uniform
+    crop, the tf.data shuffle/random_crop analog, tf_boilerplate.py:19-35),
+    expressed as an XLA program instead of worker threads. Requires
+    uniformly-sized images (the synthetic/photo corpora are); falls back is
+    the caller's job (see Trainer docs / CLI --data_pipeline).
+
+    ``sample(k)`` returns a (k, B, P, P, 3) uint8 DEVICE array shaped for
+    the trainer's fused scan; pass ``mesh`` to lay it out batch-sharded so
+    the stacked batch is born with the trainer's input sharding.
+    """
+
+    def __init__(
+        self,
+        train_glob: str,
+        batchsize: int = 8,
+        patchsize: int = 256,
+        seed: int = 0,
+        mesh=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        files = sorted(globlib.glob(train_glob))
+        if not files:
+            raise RuntimeError(f"No training images found with glob '{train_glob}'.")
+        imgs = []
+        for path in files:
+            img = _decode_image(path)
+            if img is None:
+                continue
+            if img.shape[0] >= patchsize and img.shape[1] >= patchsize:
+                imgs.append(img)
+        if not imgs:
+            raise RuntimeError(
+                f"No images >= patchsize {patchsize} under '{train_glob}'."
+            )
+        shapes = {im.shape for im in imgs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"DeviceDataset needs uniformly-sized images, got {shapes}; "
+                "use the host PatchPipeline for mixed-size corpora."
+            )
+        stack = np.stack(imgs)  # (N, H, W, 3) uint8
+        self.num_images = stack.shape[0]
+        self.nbytes = stack.nbytes
+        self.batchsize = batchsize
+        self.patchsize = patchsize
+        self._base_key = jax.random.PRNGKey(seed)
+        self._calls = 0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nic_tpu.parallel.mesh import replicated_sharding
+
+            self._images = jax.device_put(stack, replicated_sharding(mesh))
+            self._out_sharding = NamedSharding(mesh, P(None, "data"))
+        else:
+            self._images = jax.device_put(stack)
+            self._out_sharding = None
+
+        B, Ps = batchsize, patchsize
+
+        def sample_impl(images, key, k):
+            N, H, W, _ = images.shape
+            ki, ky, kx = jax.random.split(key, 3)
+            idx = jax.random.randint(ki, (k, B), 0, N)
+            oy = jax.random.randint(ky, (k, B), 0, H - Ps + 1)
+            ox = jax.random.randint(kx, (k, B), 0, W - Ps + 1)
+
+            def crop(i, y, x):
+                return jax.lax.dynamic_slice(
+                    images, (i, y, x, 0), (1, Ps, Ps, 3)
+                )[0]
+
+            return jax.vmap(jax.vmap(crop))(idx, oy, ox)
+
+        jit_kwargs = {"static_argnums": (2,)}
+        if self._out_sharding is not None:
+            jit_kwargs["out_shardings"] = self._out_sharding
+        self._sampler = jax.jit(sample_impl, **jit_kwargs)
+        self._jnp = jnp
+
+    def sample(self, k: int):
+        """(k, B, P, P, 3) uint8 device batch stack for k fused steps."""
+        import jax
+
+        key = jax.random.fold_in(self._base_key, self._calls)
+        self._calls += 1
+        return self._sampler(self._images, key, k)
+
+    def close(self):
+        self._images = None
+
+
+def _decode_image(path: str) -> Optional[np.ndarray]:
+    """uint8 HWC decode of a PNG/JPEG/.npy file (None on failure)."""
+    try:
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.dtype != np.uint8:
+                arr = np.clip(
+                    arr * (255.0 if arr.max() <= 1.5 else 1.0), 0, 255
+                ).astype(np.uint8)
+            return arr
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    except Exception:
+        return None

@@ -473,12 +473,20 @@ class Trainer:
 
         import numpy as _np
 
+        from nic_tpu.train.data import DeviceDataset
+
+        # HBM-resident corpus: batches are sampled on device (data.py
+        # DeviceDataset) — no per-step host->device image traffic.
+        on_device = isinstance(data, DeviceDataset)
+
         step = int(state.step)
         while step < cfg.last_step:
             # Never overshoot last_step (StopAtStepHook semantics,
             # tf_boilerplate.py:66): the final call shrinks to the remainder.
             this = min(k, cfg.last_step - step)
-            if k == 1:
+            if on_device:
+                batch = data.sample(this) if k > 1 else data.sample(1)[0]
+            elif k == 1:
                 batch = make_global_batch(next(data), self.mesh, bsh)
             else:
                 batch = make_global_batch(
