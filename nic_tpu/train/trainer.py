@@ -479,8 +479,23 @@ class Trainer:
         # DeviceDataset) — no per-step host->device image traffic.
         on_device = isinstance(data, DeviceDataset)
 
+        # Graceful SIGTERM: finish the in-flight fused call, then fall
+        # through to the trailing checkpoint+npz save. Without this a
+        # timeout-wrapped or deadline-killed run loses everything since the
+        # last periodic save (observed: 8k steps). Main thread only; the
+        # previous handler is restored on exit.
+        import signal
+        import threading
+
+        stop_requested = threading.Event()
+        prev_handler = None
+        if threading.current_thread() is threading.main_thread():
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: stop_requested.set()
+            )
+
         step = int(state.step)
-        while step < cfg.last_step:
+        while step < cfg.last_step and not stop_requested.is_set():
             # Never overshoot last_step (StopAtStepHook semantics,
             # tf_boilerplate.py:66): the final call shrinks to the remainder.
             this = min(k, cfg.last_step - step)
@@ -558,6 +573,10 @@ class Trainer:
                     if prev is not None:
                         os.remove(prev)
                     last_ckpt = now
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+        if stop_requested.is_set() and verbose:
+            print(f"SIGTERM: stopping at step {step}; saving checkpoint.")
         if is_writer:
             host_state = jax.device_get(state)
             ckpt_lib.save_checkpoint(self.save_dir, step, host_state)
