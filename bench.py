@@ -314,7 +314,17 @@ def main(argv):
         codec.coder.decode_batch = _timed(orig_decode_batch)
 
         results = {}
-        for variant, parallel in (("single_stream", False), ("per_image_streams", True)):
+        for variant, parallel, unfused in (
+            ("single_stream", False, False),
+            ("per_image_streams", True, False),
+            # Pre-fusion dispatch pipeline (4+ device programs instead of 2):
+            # isolates how much of the decode wall is tunnel dispatch count.
+            ("single_stream_unfused", False, True),
+        ):
+            if unfused:
+                os.environ["NIC_TPU_DECODE_UNFUSED"] = "1"
+            else:
+                os.environ.pop("NIC_TPU_DECODE_UNFUSED", None)
             blob, _ = codec.compress(xs, parallel=parallel)
             codec.decompress(blob)  # warm compiles
             best, best_host = float("inf"), 0.0
@@ -332,6 +342,7 @@ def main(argv):
                 "device_and_other_s": round(best - best_host, 3),
                 "stream_bytes": len(blob),
             }
+        os.environ.pop("NIC_TPU_DECODE_UNFUSED", None)
         print(
             json.dumps(
                 {

@@ -9,12 +9,20 @@ mu/sigma = h_s(z_hat) selects per-element rows of the Gaussian scale table
 to decode y, then x_hat = g_s(y_hat).
 """
 
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _decode_unfused() -> bool:
+    """Select the pre-fusion decompress path (one device program per stage
+    instead of the fused two-dispatch pipeline) — measurement escape hatch
+    for bench.py --decode A/Bs, not a user knob."""
+    return bool(os.environ.get("NIC_TPU_DECODE_UNFUSED"))
 
 from nic_tpu.coding.coder import RansCoder
 from nic_tpu.coding.container import PackedBitstream
@@ -48,6 +56,31 @@ def _mu_sigma_pass(model, params, z_hat, y_hw):
         {"params": params}, z_hat, y_hw, method=model.hyper_synthesize
     )
     return mu, sigma, _GC.scale_indexes(_GC.bound_scale(sigma))
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _z_symbols_to_mu_sigma(model, params, z_symbols, y_hw):
+    """Fused decode pass 1: median-dequantize the rANS-decoded z symbols and
+    run h_s, one device program instead of two. Through the TPU tunnel each
+    dispatch costs far more than the compute at serving batch sizes, so the
+    decode wall is dispatch-count-bound (bench.py --decode breakdown)."""
+    medians = model.apply({"params": params}, method=model.medians)
+    z_hat = z_symbols.astype(jnp.float32) + medians
+    mu, sigma = model.apply(
+        {"params": params}, z_hat, y_hw, method=model.hyper_synthesize
+    )
+    return z_hat, mu, _GC.scale_indexes(_GC.bound_scale(sigma))
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _reconstruct_pass(model, params, y_symbols, mu, x_hw, round_mu=False):
+    """Fused decode pass 2: mean-dequantize the rANS-decoded y symbols, run
+    g_s, and clip — one device program. round_mu selects the optimized-latent
+    convention (y_star = symbols + round(mu), codec.compress_optimized)."""
+    center = jnp.round(mu) if round_mu else mu
+    y_hat = y_symbols.astype(jnp.float32) + center
+    x_hat = model.apply({"params": params}, y_hat, x_hw, method=model.synthesize)
+    return jnp.clip(x_hat, 0.0, 1.0)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -272,17 +305,31 @@ class HyperpriorCodec:
         )
         z_star = jnp.asarray(zt.values_from_symbols(z_rel, z_rows), jnp.float32)
 
-        _, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_star, (yh, yw))
+        if _decode_unfused():
+            _, _, y_indexes = _mu_sigma_pass(
+                self.model, self.params, z_star, (yh, yw)
+            )
+            y_indexes = np.asarray(jax.device_get(y_indexes))
+            y_rel = self.coder.decode(
+                packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
+            )
+            y_symbols = yt.values_from_symbols(y_rel, y_indexes)
+            y_star = _optimized_dequantize_y(
+                self.model, self.params, z_star, jnp.asarray(y_symbols)
+            )
+            x_hat = _synthesize_pass(self.model, self.params, y_star, (xh, xw))
+            return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
+
+        mu, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_star, (yh, yw))
         y_indexes = np.asarray(jax.device_get(y_indexes))
         y_rel = self.coder.decode(
             packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
         )
         y_symbols = yt.values_from_symbols(y_rel, y_indexes)
-        y_star = _optimized_dequantize_y(
-            self.model, self.params, z_star, jnp.asarray(y_symbols)
+        x_hat = _reconstruct_pass(
+            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), True
         )
-        x_hat = _synthesize_pass(self.model, self.params, y_star, (xh, xw))
-        return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
+        return np.asarray(jax.device_get(x_hat))
 
     def decompress(self, blob: bytes) -> np.ndarray:
         """Inverse of compress: bitstream -> float [N,H,W,3] reconstruction
@@ -322,9 +369,18 @@ class HyperpriorCodec:
                 packed.get_stream("side_string"), z_rows, zt.cdfs, zt.cdf_sizes
             )
         z_symbols = zt.values_from_symbols(z_rel, z_rows)
-        z_hat = _dequantize_z(self.model, self.params, jnp.asarray(z_symbols))
 
-        mu, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_hat, (yh, yw))
+        if _decode_unfused():
+            # Pre-fusion path (4 device programs + clip), kept selectable so
+            # bench.py --decode can A/B the dispatch-count saving.
+            z_hat = _dequantize_z(self.model, self.params, jnp.asarray(z_symbols))
+            mu, _, y_indexes = _mu_sigma_pass(
+                self.model, self.params, z_hat, (yh, yw)
+            )
+        else:
+            _, mu, y_indexes = _z_symbols_to_mu_sigma(
+                self.model, self.params, jnp.asarray(z_symbols), (yh, yw)
+            )
         y_indexes = np.asarray(jax.device_get(y_indexes))
         if side_sizes is not None:
             y_rel = self.coder.decode_batch(
@@ -336,6 +392,11 @@ class HyperpriorCodec:
                 packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
             )
         y_symbols = yt.values_from_symbols(y_rel, y_indexes)
-        y_hat = jnp.asarray(y_symbols, jnp.float32) + mu
-        x_hat = _synthesize_pass(self.model, self.params, y_hat, (xh, xw))
-        return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
+        if _decode_unfused():
+            y_hat = jnp.asarray(y_symbols, jnp.float32) + mu
+            x_hat = _synthesize_pass(self.model, self.params, y_hat, (xh, xw))
+            return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
+        x_hat = _reconstruct_pass(
+            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), False
+        )
+        return np.asarray(jax.device_get(x_hat))

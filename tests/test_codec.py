@@ -136,3 +136,27 @@ class TestParallelStreams:
         # Sequential mode still decodes too, and rates are comparable.
         blob_s, _ = codec.compress(image, parallel=False)
         assert abs(len(blob_p) - len(blob_s)) < 64 * image.shape[0]
+
+
+class TestFusedDecodePipeline:
+    """decompress() runs two fused device programs (z-dequant+h_s, then
+    y-dequant+g_s+clip); the pre-fusion per-stage path stays selectable via
+    NIC_TPU_DECODE_UNFUSED for bench A/Bs. Both must be bit-identical."""
+
+    def _ab(self, codec, blob, monkeypatch):
+        fused = codec.decompress(blob)
+        monkeypatch.setenv("NIC_TPU_DECODE_UNFUSED", "1")
+        unfused = codec.decompress(blob)
+        np.testing.assert_array_equal(fused, unfused)
+
+    def test_amortized_stream_fused_equals_unfused(self, codec, image, monkeypatch):
+        blob, _ = codec.compress(image)
+        self._ab(codec, blob, monkeypatch)
+
+    def test_optimized_stream_fused_equals_unfused(self, codec, image, monkeypatch):
+        from nic_tpu.infer import SGA, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=10))
+        blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
+        self._ab(codec, blob, monkeypatch)
