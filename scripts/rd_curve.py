@@ -42,6 +42,22 @@ def find_runs(checkpoint_dir: str, num_filters: int, model: str = "mbt2018"):
     return runs
 
 
+def _write_artifacts(out_dir, curve, detail, verbose=False):
+    """Write the CSV/JSON artifacts. Called after EVERY checkpoint so a
+    deadline-killed run (pipelines cap eval phases with `timeout`) still
+    leaves a valid partial curve on disk."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name, pts in curve.items():
+        pts = sorted(pts)
+        path = os.path.join(out_dir, f"{name}-psnr.csv")
+        with open(path, "w") as f:
+            f.write("".join(f"{b:.4f},{p:.6f}\n" for b, p in pts))
+        if verbose:
+            print(f"wrote {path}")
+    with open(os.path.join(out_dir, "rd_curve.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("eval_npy")
@@ -128,16 +144,9 @@ def main():
                 f"psnr={psnr:6.3f} msssim={ms:.4f}"
             )
         detail.append(row)
+        _write_artifacts(args.out, curve, detail)
 
-    os.makedirs(args.out, exist_ok=True)
-    for name, pts in curve.items():
-        pts = sorted(pts)
-        path = os.path.join(args.out, f"{name}-psnr.csv")
-        with open(path, "w") as f:
-            f.write("".join(f"{b:.4f},{p:.6f}\n" for b, p in pts))
-        print(f"wrote {path}")
-    with open(os.path.join(args.out, "rd_curve.json"), "w") as f:
-        json.dump(detail, f, indent=2)
+    _write_artifacts(args.out, curve, detail, verbose=True)
 
     try:
         import matplotlib
