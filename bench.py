@@ -124,7 +124,10 @@ def _measure_reference_emulation(model, params, x, iterations=2000,
         return jax.value_and_grad(loss_fn, argnums=(0, 1))(y, z)
 
     y0, z0 = _amortized_init(model, params, x)
-    y, z = np.asarray(y0), np.asarray(z0)
+    # np.array (not asarray): device arrays convert to READ-ONLY numpy
+    # views, and the Adam update below mutates in place (BENCH_r02/r03
+    # shipped without a measured anchor because of exactly this).
+    y, z = np.array(y0), np.array(z0)
 
     # Reference numpy Adam state (adam.py: beta1=.9, beta2=.999, eps=1e-8).
     lr, b1, b2, eps = 0.005, 0.9, 0.999, 1e-8
@@ -167,8 +170,12 @@ def _hand_step_flops(batch, h, w, nf=192):
     forward, no weight grads). GDN channel mixes (1x1 convs) included.
     Cross-checks the XLA cost-analysis number."""
 
-    def conv(kh, kw, cin, cout, ho, wo):
-        return 2.0 * kh * kw * cin * cout * ho * wo * batch
+    def conv(kh, kw, cin, cout, ho, wo, up=1):
+        # A stride-up-s transposed conv has only kh*kw/s^2 real MACs per
+        # OUTPUT pixel on average (each output is hit by a 1/s^2 slice of
+        # the kernel taps) — charging all kh*kw taps overstated the hand
+        # count 4x for the up-2 layers (VERDICT r3 weak #3).
+        return 2.0 * kh * kw * cin * cout * ho * wo * batch / (up * up)
 
     yh, yw = h // 16, w // 16
     zh, zw = h // 64, w // 64
@@ -178,14 +185,14 @@ def _hand_step_flops(batch, h, w, nf=192):
     ho, wo, cin = yh, yw, nf
     for i, cout in enumerate([nf, nf, nf, 3]):
         ho, wo = ho * 2, wo * 2
-        f += conv(5, 5, cin, cout, ho, wo)
+        f += conv(5, 5, cin, cout, ho, wo, up=2)
         if i < 3:
             f += conv(1, 1, cout, cout, ho, wo)  # IGDN norm pool
         cin = cout
     # h_s (MBT2018 variant, nn_models.py:140-170): 5x5/up2 nf -> 5x5/up2
     # 1.5nf -> 3x3/up1 2nf.
-    f += conv(5, 5, nf, nf, zh * 2, zw * 2)
-    f += conv(5, 5, nf, nf * 3 // 2, zh * 4, zw * 4)
+    f += conv(5, 5, nf, nf, zh * 2, zw * 2, up=2)
+    f += conv(5, 5, nf, nf * 3 // 2, zh * 4, zw * 4, up=2)
     f += conv(3, 3, nf * 3 // 2, nf * 2, zh * 4, zw * 4)
     return 2.0 * f  # fwd + input-cotangent bwd
 
@@ -241,8 +248,14 @@ def _calibration_ms(n=6, dim=2048):
     """Wall time of a fixed chained-matmul program: a session-to-session
     tunnel-speed fingerprint recorded next to every headline number (the
     tunnel's per-dispatch latency varies ~4x by time of day; this makes
-    drift distinguishable from real regressions). Data-dependence-chained
-    so the tunnel's early-ACK/memoization cannot fake it."""
+    drift distinguishable from real regressions).
+
+    The tunnel memoizes identical (program, inputs) dispatches, so every
+    rep runs on a DIFFERENT input (rep index folded into the matrix), and
+    physically impossible times are rejected: the chain is 64 x 2*2048^3
+    ~= 1.1 TFLOP of data-dependent bf16 matmuls, >= ~5.6 ms at the v5e
+    197 TFLOP/s peak — anything under 1 ms was served from a cache, not
+    computed (BENCH_r03 recorded 0.0 ms; VERDICT r3 weak #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -254,14 +267,24 @@ def _calibration_ms(n=6, dim=2048):
         out, _ = jax.lax.scan(body, a, None, length=64)
         return out
 
-    a = jnp.full((dim, dim), 0.001, jnp.bfloat16)
-    prog(a).block_until_ready()  # compile
+    base = jnp.full((dim, dim), 0.001, jnp.bfloat16)
+    prog(base).block_until_ready()  # compile
+    floor_s = 64 * 2.0 * dim ** 3 / V5E_PEAK_BF16_FLOPS * 0.2  # 5x peak = fake
     best = float("inf")
-    for _ in range(n):
+    accepted, tries = 0, 0
+    while accepted < n and tries < 4 * n:
+        tries += 1
+        # Distinct input per rep (steps > bf16 ulp at 0.001) so the
+        # (program, inputs) pair is never repeated and cannot be memoized.
+        a = (base * (1.0 + 0.01 * tries)).block_until_ready()
         t0 = time.perf_counter()
         prog(a).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
+        dt = time.perf_counter() - t0
+        if dt < floor_s:
+            continue  # cache-served response; remeasure
+        best = min(best, dt)
+        accepted += 1
+    return best * 1000.0 if accepted else None
 
 
 def main(argv):
@@ -416,6 +439,18 @@ def main(argv):
     mfu, mfu_hand = _chunk_mfu(model, params, opt, x, best_dt / iterations * 200)
     peak = V5E_PEAK_INT8_OPS if quant else V5E_PEAK_BF16_FLOPS
     scale = V5E_PEAK_BF16_FLOPS / peak  # _chunk_mfu normalizes by bf16 peak
+    # The two MFU numbers cross-check each other: XLA's cost_analysis of
+    # the scan body vs an analytic conv count. They must agree within 1.5x
+    # (hand counts only the transform convs, so hand <= xla is expected);
+    # a larger mismatch means one of them is miscounting — say so.
+    mfu_note = None
+    if mfu and mfu_hand:
+        ratio = mfu / mfu_hand
+        if not (1 / 1.5 <= ratio <= 1.5):
+            mfu_note = (
+                f"MFU cross-check mismatch: xla/hand = {ratio:.2f} "
+                "(expected within 1.5x; one count is wrong)"
+            )
 
     out = {
         "metric": (
@@ -436,6 +471,8 @@ def main(argv):
         ),
         "assumed_anchor_images_per_sec": round(REFERENCE_IMAGES_PER_SEC, 5),
     }
+    if mfu_note:
+        out["mfu_note"] = mfu_note
     if measured_anchor is not None:
         out["measured_anchor"] = round(measured_anchor, 5)
         out["measured_anchor_step_ms"] = round(anchor_step_s * 1000, 1)

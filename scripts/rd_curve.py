@@ -42,20 +42,56 @@ def find_runs(checkpoint_dir: str, num_filters: int, model: str = "mbt2018"):
     return runs
 
 
-def _write_artifacts(out_dir, curve, detail, verbose=False):
-    """Write the CSV/JSON artifacts. Called after EVERY checkpoint so a
-    deadline-killed run (pipelines cap eval phases with `timeout`) still
-    leaves a valid partial curve on disk."""
+def _atomic_write(path, text):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def _merge_detail(out_dir, detail):
+    """Merge this run's rows into the rd_curve.json already on disk.
+
+    Pipelines re-run evals into the same out dir under tight `timeout`
+    budgets; without merging, a deadline-killed re-eval would replace a
+    committed 5-point curve with a 1-point partial one (ADVICE r3,
+    medium). Rows are keyed by runname: fresh results win, rows not
+    re-evaluated this run are kept."""
+    merged = {}
+    path = os.path.join(out_dir, "rd_curve.json")
+    try:
+        with open(path) as f:
+            for row in json.load(f):
+                merged[row["runname"]] = row
+    except (OSError, ValueError):
+        pass
+    for row in detail:
+        merged[row["runname"]] = row
+    return sorted(merged.values(), key=lambda r: (r["lmbda"], r["runname"]))
+
+
+def _write_artifacts(out_dir, detail, verbose=False, fresh=False):
+    """Write the CSV/JSON artifacts (atomically — a SIGTERM mid-write must
+    not truncate a committed curve). Called after EVERY checkpoint so a
+    deadline-killed run still leaves a valid partial curve on disk; the
+    curves are rebuilt from the on-disk-merged detail, never shrinking."""
     os.makedirs(out_dir, exist_ok=True)
+    merged = detail if fresh else _merge_detail(out_dir, detail)
+    curve = {}
+    for row in merged:
+        for name, res in row["methods"].items():
+            curve.setdefault(name, []).append((res["bpp"], res["psnr"]))
     for name, pts in curve.items():
-        pts = sorted(pts)
         path = os.path.join(out_dir, f"{name}-psnr.csv")
-        with open(path, "w") as f:
-            f.write("".join(f"{b:.4f},{p:.6f}\n" for b, p in pts))
+        _atomic_write(
+            path, "".join(f"{b:.4f},{p:.6f}\n" for b, p in sorted(pts))
+        )
         if verbose:
             print(f"wrote {path}")
-    with open(os.path.join(out_dir, "rd_curve.json"), "w") as f:
-        json.dump(detail, f, indent=2)
+    _atomic_write(
+        os.path.join(out_dir, "rd_curve.json"), json.dumps(merged, indent=2)
+    )
+    return curve
 
 
 def main():
@@ -66,6 +102,11 @@ def main():
     ap.add_argument("--methods", default="amortized,sga")
     ap.add_argument("--its", type=int, default=2000)
     ap.add_argument("--num_filters", type=int, default=192)
+    ap.add_argument(
+        "--fresh", action="store_true",
+        help="Do not merge with an existing rd_curve.json in --out "
+        "(default merges so partial re-evals never shrink the curve).",
+    )
     ap.add_argument(
         "--model", default="mbt2018", choices=("mbt2018", "mbt2018_bb"),
         help="mbt2018_bb scans bb checkpoints and evaluates the bits-back "
@@ -93,8 +134,9 @@ def main():
     if X.max() > 1.5:
         X = X / 255.0
 
-    curve = {m: [] for m in args.methods.split(",")}
+    method_names = args.methods.split(",")
     detail = []
+    fresh = args.fresh
     for runname, lmbda in runs:
         tc = TrainConfig(
             model=args.model,
@@ -117,8 +159,14 @@ def main():
                 num_filters=args.num_filters, compute_dtype=jnp.bfloat16
             )
             opt = LatentOptimizer(model, params)
-        row = dict(runname=runname, lmbda=lmbda, step=step, methods={})
-        for name in curve:
+        row = dict(
+            runname=runname,
+            lmbda=lmbda,
+            step=step,
+            eval=os.path.basename(args.eval_npy),
+            methods={},
+        )
+        for name in method_names:
             t0 = time.time()
             if args.model == "mbt2018_bb":
                 import dataclasses
@@ -135,7 +183,6 @@ def main():
             bpp = float(np.mean(r["est_bpp"]))
             psnr = float(np.mean(r["psnr"]))
             ms = float(np.mean(r["msssim"]))
-            curve[name].append((bpp, psnr))
             row["methods"][name] = dict(
                 bpp=bpp, psnr=psnr, msssim=ms, secs=time.time() - t0
             )
@@ -144,9 +191,10 @@ def main():
                 f"psnr={psnr:6.3f} msssim={ms:.4f}"
             )
         detail.append(row)
-        _write_artifacts(args.out, curve, detail)
+        _write_artifacts(args.out, detail, fresh=fresh)
+        fresh = False  # after the first write, merging == appending to it
 
-    _write_artifacts(args.out, curve, detail, verbose=True)
+    curve = _write_artifacts(args.out, detail, verbose=True, fresh=fresh)
 
     try:
         import matplotlib
