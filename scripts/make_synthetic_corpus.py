@@ -13,6 +13,16 @@ validation uses synthetic images engineered toward photographic statistics:
   piecewise-smooth regions are the statistics hyperprior models exploit on
   photos; matching them tightens the absolute-RD comparison against the
   paper's Kodak curves (VERDICT r1 item 1).
+  v3 (--style photo2 --textures data_synth3/textures.npz): Kodak-difficulty
+  -matched scenes. The JPEG anchor probe (scripts/jpeg_anchor.py) showed
+  the v2 corpus is ~4.5 dB harder than Kodak at matched rate — noise
+  textures carry far more incompressible high-frequency energy than real
+  photographs. v3 composites piecewise-smooth scenes whose object fills
+  are REAL photographic texture crops (scripts/harvest_textures.py),
+  with depth-of-field blur (a subset of objects in focus), feathered
+  occlusion boundaries, illumination gradients and mild grain. Difficulty
+  is tuned so JPEG's RD curve on the eval set lands inside the published
+  JPEG-on-Kodak band (see jpeg_anchor.KODAK_JPEG_BAND).
 
 Usage: python scripts/make_synthetic_corpus.py OUTDIR [--train N] [--eval M]
 Writes OUTDIR/train/img_*.png (256x256) and OUTDIR/eval.npy ([M,256,384,3]).
@@ -153,6 +163,117 @@ def synth_image_photo(rng, h, w):
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def _texture_fill(rng, textures, h, w, zoom_range=(0.8, 3.0)):
+    """An (h, w, 3) float field tiled from a random real-texture crop.
+
+    zoom > 1 magnifies the texture (smoother content, fewer cycles/px —
+    the main difficulty knob); mirror tiling avoids seam discontinuities.
+    """
+    tex = textures[rng.integers(0, len(textures))].astype(np.float32) / 255.0
+    if rng.random() < 0.5:
+        tex = tex[:, ::-1]
+    tex = np.rot90(tex, k=int(rng.integers(0, 4)))
+    zoom = rng.uniform(*zoom_range)
+    th, tw = tex.shape[:2]
+    crop = max(16, min(int(round(min(th, tw) / zoom)), min(th, tw)))
+    ty = int(rng.integers(0, th - crop + 1))
+    tx = int(rng.integers(0, tw - crop + 1))
+    patch = tex[ty:ty + crop, tx:tx + crop]
+    # Resample the crop to a tile whose size covers a good fraction of the
+    # region, then mirror-tile to (h, w).
+    from PIL import Image
+
+    tile = int(np.clip(crop * zoom, 32, 1024))
+    patch = np.asarray(
+        Image.fromarray((patch * 255).astype(np.uint8)).resize(
+            (tile, tile), Image.Resampling.LANCZOS
+        ),
+        dtype=np.float32,
+    ) / 255.0
+    reps_y = -(-h // tile) + 1
+    reps_x = -(-w // tile) + 1
+    mirrored = np.concatenate([patch, patch[::-1]], axis=0)
+    mirrored = np.concatenate([mirrored, mirrored[:, ::-1]], axis=1)
+    big = np.tile(mirrored, (max(1, (reps_y + 1) // 2), max(1, (reps_x + 1) // 2), 1))
+    oy = int(rng.integers(0, max(1, big.shape[0] - h + 1)))
+    ox = int(rng.integers(0, max(1, big.shape[1] - w + 1)))
+    return big[oy:oy + h, ox:ox + w]
+
+
+def synth_image_photo2(rng, h, w, textures, cfg=None):
+    """Kodak-difficulty scene: real-texture object fills + depth of field.
+
+    cfg knobs (defaults tuned via scripts/jpeg_anchor.py):
+      n_objects     number of occluding objects
+      p_focus       probability an object is in focus (sharp texture)
+      dof_sigma     blur sigma range for out-of-focus objects
+      grain         sensor grain sigma range
+      base_zoom     texture zoom range (higher = smoother fills)
+    """
+    from scipy.ndimage import gaussian_filter
+
+    # Defaults = the JPEG-anchor-calibrated knob set: with these, libjpeg's
+    # RD curve on a 512x768 eval set lands inside KODAK_JPEG_BAND at 0.5 /
+    # 0.75 / 1.0 bpp on multiple seeds (scripts/jpeg_anchor.py, round 4).
+    cfg = cfg or {}
+    n_objects = cfg.get("n_objects", (6, 14))
+    p_focus = cfg.get("p_focus", 0.8)
+    dof_sigma = cfg.get("dof_sigma", (1.0, 2.5))
+    grain = cfg.get("grain", (0.004, 0.010))
+    base_zoom = cfg.get("base_zoom", (0.5, 1.4))
+    bg_blur = cfg.get("bg_blur", (1.5, 6.0))
+    bg_zoom = cfg.get("bg_zoom", (1.0, 2.5))
+    psf = cfg.get("psf", (0.2, 0.45))
+    ref = min(h, w)
+
+    def blur(img, sigma):
+        if sigma <= 0.05:
+            return img
+        return gaussian_filter(img, sigma=(sigma, sigma, 0))
+
+    # Background: heavily defocused texture or smooth sky-like gradient,
+    # always low-frequency (Kodak frames usually have one).
+    if rng.random() < 0.65:
+        bg = _texture_fill(rng, textures, h, w, zoom_range=bg_zoom)
+        bg = blur(bg, rng.uniform(*bg_blur))
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        c0, c1 = rng.random(3), rng.random(3)
+        t = ((yy / h) * rng.uniform(-1, 1) + (xx / w) * rng.uniform(-1, 1))
+        t = (t - t.min()) / (np.ptp(t) + 1e-9)
+        bg = c0 * (1 - t[..., None]) + c1 * t[..., None]
+        bg += 0.08 * (grf(rng, h, w, 2.5)[..., None] - 0.5)
+    img = np.clip(bg, 0, 1).astype(np.float32)
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    lo, hi = n_objects
+    for _ in range(int(rng.integers(lo, hi))):
+        scale = int(ref * rng.uniform(0.12, 0.45))
+        mask = region_mask(rng, yy, xx, h, w, scale).astype(np.float32)
+        if mask.mean() < 1e-3:
+            continue
+        # Feathered boundary: real occlusion edges span ~1-2 px.
+        mask = gaussian_filter(mask, sigma=rng.uniform(0.6, 1.8))[..., None]
+        fill = _texture_fill(rng, textures, h, w, zoom_range=base_zoom)
+        # Per-object color/brightness jitter + smooth shading.
+        gain = 0.55 + 0.7 * rng.random(3)
+        shade = 0.7 + 0.3 * grf(rng, h, w, 2.0)
+        fill = np.clip(fill * gain * shade[..., None], 0, 1)
+        if rng.random() > p_focus:
+            fill = blur(fill, rng.uniform(*dof_sigma))
+        img = mask * fill + (1 - mask) * img
+
+    # Global illumination gradient.
+    gy, gx = rng.uniform(-1, 1, 2)
+    illum = 1.0 + 0.18 * (gy * (yy / h - 0.5) + gx * (xx / w - 0.5))
+    img = img * illum[..., None].astype(np.float32)
+
+    # Lens/demosaic PSF + sensor grain.
+    img = blur(img, rng.uniform(*psf))
+    img = img + rng.normal(0, rng.uniform(*grain), img.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
@@ -172,12 +293,29 @@ def main():
                     "aspect) or 576x768 (Tecnick-analog large images).")
     ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--style", choices=("photo", "grf"), default="photo")
+    ap.add_argument("--style", choices=("photo", "grf", "photo2"),
+                    default="photo")
+    ap.add_argument("--textures", default="data_synth3/textures.npz",
+                    help="Real-texture library for --style photo2 "
+                    "(from scripts/harvest_textures.py).")
+    ap.add_argument("--photo2_cfg", default="",
+                    help="JSON dict overriding synth_image_photo2 cfg knobs "
+                    "(n_objects, p_focus, dof_sigma, grain, base_zoom, "
+                    "bg_blur, bg_zoom, psf) for JPEG-anchor calibration.")
     args = ap.parse_args()
 
     from PIL import Image
 
-    gen = synth_image_photo if args.style == "photo" else synth_image
+    if args.style == "photo2":
+        import json
+
+        textures = np.load(args.textures)["patches"]
+        cfg = json.loads(args.photo2_cfg) if args.photo2_cfg else {}
+        cfg = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in cfg.items()}
+        gen = lambda rng, h, w: synth_image_photo2(rng, h, w, textures, cfg)
+    else:
+        gen = synth_image_photo if args.style == "photo" else synth_image
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.outdir, exist_ok=True)
     if not args.eval_only:
