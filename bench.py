@@ -251,11 +251,15 @@ def _calibration_ms(n=6, dim=2048):
     drift distinguishable from real regressions).
 
     The tunnel memoizes identical (program, inputs) dispatches, so every
-    rep runs on a DIFFERENT input (rep index folded into the matrix), and
-    physically impossible times are rejected: the chain is 64 x 2*2048^3
-    ~= 1.1 TFLOP of data-dependent bf16 matmuls, >= ~5.6 ms at the v5e
-    197 TFLOP/s peak — anything under 1 ms was served from a cache, not
-    computed (BENCH_r03 recorded 0.0 ms; VERDICT r3 weak #2)."""
+    rep runs on a DIFFERENT input (rep index folded into the matrix). The
+    tunnel also ACKs block_until_ready before compute finishes, so each
+    rep is timed until a HOST-SIDE scalar fetch of the result completes —
+    a device->host transfer of the answer cannot return early. Physically
+    impossible times are still rejected as a backstop: the chain is
+    64 x 2*2048^3 ~= 1.1 TFLOP of data-dependent bf16 matmuls, >= ~5.6 ms
+    at the v5e 197 TFLOP/s peak (BENCH_r03 recorded 0.0 ms via
+    block_until_ready, and the r4 int8 run recorded null because every
+    block_until_ready rep timed under the floor; VERDICT r3 weak #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -265,10 +269,12 @@ def _calibration_ms(n=6, dim=2048):
             return x @ a + 0.001 * x, None
 
         out, _ = jax.lax.scan(body, a, None, length=64)
-        return out
+        # Scalar result: the host fetch below transfers 4 bytes, so the
+        # timed quantity is compute + per-dispatch latency, not bandwidth.
+        return jnp.float32(out[0, 0])
 
     base = jnp.full((dim, dim), 0.001, jnp.bfloat16)
-    prog(base).block_until_ready()  # compile
+    float(prog(base))  # compile
     floor_s = 64 * 2.0 * dim ** 3 / V5E_PEAK_BF16_FLOPS * 0.2  # 5x peak = fake
     best = float("inf")
     accepted, tries = 0, 0
@@ -278,7 +284,7 @@ def _calibration_ms(n=6, dim=2048):
         # (program, inputs) pair is never repeated and cannot be memoized.
         a = (base * (1.0 + 0.01 * tries)).block_until_ready()
         t0 = time.perf_counter()
-        prog(a).block_until_ready()
+        float(prog(a))  # blocks until the real answer reaches the host
         dt = time.perf_counter() - t0
         if dt < floor_s:
             continue  # cache-served response; remeasure
