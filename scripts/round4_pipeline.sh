@@ -13,6 +13,11 @@
 # `timeout` kills lose <=10 min of work.
 set -u
 cd /root/repo
+# Single-instance guard: driver sessions can crash (API 529) and
+# relaunch; two pipelines contending for the chip and writing the same
+# checkpoint dirs is worse than none.
+exec 9>/tmp/r4pipe.lock
+flock -n 9 || { echo "round4_pipeline already running; exiting"; exit 0; }
 export PYTHONPATH=/root/.axon_site:/root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 L=/root/repo/train_logs
