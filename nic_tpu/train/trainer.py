@@ -21,6 +21,7 @@ TPU-native redesign of the reference training harness
 import datetime
 import json
 import os
+import re
 import time
 from dataclasses import asdict, dataclass, field
 from functools import partial
@@ -200,8 +201,21 @@ class Trainer:
         The inference/eval paths need only the model parameters; a raw
         (template-free) restore keeps them decoupled from the optimizer
         state's tree structure (which changes with --grad_clip).
+
+        When a params-<step>.npz exists at a step >= the latest orbax
+        checkpoint's, the npz wins: post-hoc repairs (converge_aux.py's
+        quantile convergence) rewrite only the npz, and at an equal step
+        the two are otherwise identical. Orbax stays authoritative when
+        it is strictly ahead (mid-training eval of a live run).
         """
-        if ckpt_lib.latest_step(self.save_dir) is None:
+        orbax_step = ckpt_lib.latest_step(self.save_dir)
+        npz_at_or_ahead = False
+        if orbax_step is not None:
+            p = ckpt_lib.latest_npz(self.save_dir)
+            if p is not None:
+                m = re.fullmatch(r"params-(\d+)\.npz", os.path.basename(p))
+                npz_at_or_ahead = m is not None and int(m.group(1)) >= orbax_step
+        if orbax_step is None or npz_at_or_ahead:
             npz = ckpt_lib.latest_npz(self.save_dir)
             if npz is not None:
                 # Git-committed archive (survives round resets; see

@@ -181,6 +181,42 @@ class TestTrainer:
         leaves_b = jax.tree.leaves(trained)
         assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
+    def test_same_step_npz_wins_over_orbax(self, tmp_path):
+        # Post-hoc repairs (scripts/converge_aux.py) rewrite only the
+        # params-<step>.npz; when its step >= the latest orbax step, the
+        # eval/inference restore must pick the npz, else the repair is
+        # silently ignored (round-4 pipeline bug). Orbax stays
+        # authoritative when strictly ahead.
+        from flax import traverse_util
+
+        from nic_tpu.train import checkpoint as ck
+
+        cfg = make_cfg(tmp_path, last_step=2, num_devices=1, batchsize=2)
+        trainer = Trainer(cfg)
+        trainer.fit(iter(batches(cfg)), verbose=False)
+        npz = os.path.join(trainer.save_dir, "params-2.npz")
+        assert os.path.exists(npz)
+        _, params = ck.load_params_npz(npz)
+        flat = traverse_util.flatten_dict(params, sep="/")
+        key = sorted(flat)[0]
+        flat[key] = np.asarray(flat[key]) + 1.0  # the "repair"
+        with open(npz, "wb") as f:
+            np.savez_compressed(
+                f, **{k: np.asarray(v, np.float32) for k, v in flat.items()}
+            )
+        fresh = Trainer(make_cfg(tmp_path, num_devices=1, batchsize=2))
+        step, restored = fresh.restore_params_only()
+        assert step == 2
+        rflat = traverse_util.flatten_dict(restored, sep="/")
+        np.testing.assert_allclose(np.asarray(rflat[key]), flat[key])
+
+        # Orbax strictly ahead: npz at a lower step must NOT win.
+        os.rename(npz, os.path.join(trainer.save_dir, "params-1.npz"))
+        step, restored = fresh.restore_params_only()
+        assert step == 2
+        rflat = traverse_util.flatten_dict(restored, sep="/")
+        assert not np.allclose(np.asarray(rflat[key]), flat[key])
+
     def test_init_from_warm_starts_params(self, tmp_path):
         # A new lambda run seeded from a donor run starts from the donor's
         # trained params (step 0, fresh optimizer) — the rate-point
