@@ -54,9 +54,15 @@ def main():
 
         model = MeanScaleHyperprior(num_filters=nf)
     else:
-        from nic_tpu.models.mbt2018_bb import BBHyperprior
+        from nic_tpu.models.mbt2018_bb import BitsBackHyperprior
 
-        model = BBHyperprior(num_filters=nf)
+        model = BitsBackHyperprior(num_filters=nf)
+    if not hasattr(type(model), "aux_loss"):
+        raise SystemExit(
+            f"{model_name} has no aux (quantile) loss — the bits-back "
+            "hyper-latent is posterior-sampled, not grid-coded; nothing "
+            "to converge"
+        )
 
     npz_path = latest_npz(args.run_dir)
     if npz_path is None:
