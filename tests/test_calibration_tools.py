@@ -142,3 +142,16 @@ class TestConvergeAux:
         before_v = float(lines[0].split("=")[-1].split("(")[0])
         after_v = float(lines[-1].split("=")[-1].split("(")[0])
         assert after_v <= before_v + 1e-6
+
+
+class TestBenchCalibration:
+    def test_calibration_times_host_fetch(self):
+        # The tunnel ACKs block_until_ready before compute finishes, so
+        # _calibration_ms must time until a host fetch of the result
+        # lands, and must return a positive wall time on CPU (where no
+        # caching layer exists) at a dim small enough to be instant.
+        sys.path.insert(0, REPO)
+        import bench
+
+        ms = bench._calibration_ms(n=2, dim=64)
+        assert ms is not None and ms > 0.0
