@@ -113,6 +113,12 @@ def main():
         "family (methods like bb_plain,bb_sga; net rate = est_bpp - "
         "bpp_back, matching the reference's bb_sga curves).",
     )
+    ap.add_argument(
+        "--lmbda", type=float, default=None,
+        help="Evaluate only the run with this training lambda (default: "
+        "every run under --checkpoint_dir). For single-lambda method "
+        "sweeps that should not re-evaluate the whole curve.",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -123,10 +129,13 @@ def main():
     from nic_tpu.train.trainer import TrainConfig, Trainer
 
     runs = find_runs(args.checkpoint_dir, args.num_filters, args.model)
+    if args.lmbda is not None:
+        runs = [r for r in runs if abs(r[1] - args.lmbda) < 1e-12]
     if not runs:
         raise SystemExit(
             f"no {args.model}-num_filters={args.num_filters}-lmbda=* "
             f"checkpoints under {args.checkpoint_dir}"
+            + (f" with lmbda={args.lmbda}" if args.lmbda is not None else "")
         )
     print(f"runs: {[r[0] for r in runs]}")
 
