@@ -202,20 +202,30 @@ class Trainer:
         (template-free) restore keeps them decoupled from the optimizer
         state's tree structure (which changes with --grad_clip).
 
-        When a params-<step>.npz exists at a step >= the latest orbax
-        checkpoint's, the npz wins: post-hoc repairs (converge_aux.py's
+        When a params-<step>.npz exists at EXACTLY the latest orbax
+        checkpoint's step, the npz wins: post-hoc repairs (converge_aux.py's
         quantile convergence) rewrite only the npz, and at an equal step
-        the two are otherwise identical. Orbax stays authoritative when
-        it is strictly ahead (mid-training eval of a live run).
+        the two are otherwise identical. Orbax stays authoritative in
+        every other case — including an npz whose step is AHEAD of orbax,
+        which can only be a stale leftover from a prior run in a reused
+        checkpoint dir (ADVICE r4, low: shape checks catch architecture
+        changes, not staleness). The chosen source is logged.
         """
         orbax_step = ckpt_lib.latest_step(self.save_dir)
-        npz_at_or_ahead = False
+        npz_matches = False
         if orbax_step is not None:
             p = ckpt_lib.latest_npz(self.save_dir)
             if p is not None:
                 m = re.fullmatch(r"params-(\d+)\.npz", os.path.basename(p))
-                npz_at_or_ahead = m is not None and int(m.group(1)) >= orbax_step
-        if orbax_step is None or npz_at_or_ahead:
+                npz_step = int(m.group(1)) if m else None
+                npz_matches = npz_step == orbax_step
+                if npz_step is not None and npz_step > orbax_step:
+                    print(
+                        f"restore_params_only: ignoring {p} (step {npz_step} "
+                        f"ahead of latest orbax step {orbax_step} — stale "
+                        "leftover from a prior run?)"
+                    )
+        if orbax_step is None or npz_matches:
             npz = ckpt_lib.latest_npz(self.save_dir)
             if npz is not None:
                 # Git-committed archive (survives round resets; see
@@ -232,9 +242,12 @@ class Trainer:
                     jax.tree_util.tree_map(jnp.asarray, params),
                     template,
                 )
+                print(f"restore_params_only: {npz} (step {step})")
                 return step, jax.tree_util.tree_map(jnp.asarray, params)
             return 0, self.init_state().params
         raw = ckpt_lib.restore_raw(self.save_dir)
+        print(f"restore_params_only: orbax step {int(raw['step'])} "
+              f"from {self.save_dir}")
         return int(raw["step"]), raw["params"]
 
     def restore_or_init(self) -> TrainState:

@@ -32,7 +32,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--threshold", type=float, default=5.0)
-    ap.add_argument("--steps", type=int, default=20000)
+    def _positive(v):
+        v = int(v)
+        if v < 1:
+            raise argparse.ArgumentTypeError("--steps must be >= 1")
+        return v
+
+    ap.add_argument("--steps", type=_positive, default=20000)
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--dry_run", action="store_true",
                     help="Report the aux loss without rewriting the npz.")

@@ -51,18 +51,44 @@ WHITELIST = [
     "white_marble_tile2.png",
     "wood1.png",
 ]
+# Round-5 HOLDOUT library (ADVICE r4 medium: the synth3 eval shared its
+# texture sources with the training corpus). These sources are fully
+# DISJOINT from WHITELIST above, so an eval set built from them shares no
+# texture content with anything the synth3 models trained on. They are
+# mostly game-art rather than photographic (the photographic well in
+# site-packages is dry after the 15 above); difficulty is recalibrated by
+# the JPEG anchor + subset curation, and the residual realism difference
+# is exactly the generalization axis the synth4 experiment probes.
+# china/flower/grace_hopper stay excluded (the real-photo eval set).
+HOLDOUT_WHITELIST = [
+    "tennis_ball.png",            # real macro photo: ball fuzz
+    "fist.png",                   # real photo: skin/arm (pygame examples)
+    "arraydemo.bmp",              # marbled water-like texture
+    "pitch_l.png",                # soccer pitch: striped grass
+    "floor_purple_d.png",         # labmaze game floor (dot pattern)
+    "floor_orange_d.png",
+    "floor_blue_d.png",           # woven pattern
+    "floor_red_d.png",
+    "wall_yellow_bright_d.png",   # brick pattern
+    "up.png",                     # labmaze sky_01 cube face (clouds)
+]
+
 # Crop scales: a `scale`-sized square crop resized to PATCH. >1 zooms out
 # (finer apparent detail), <1 zooms in (coarser).
 SCALES = [128, 256, 384, 512]
 
 
-def find_whitelisted():
+def find_whitelisted(names):
     found = {}
     for root in site.getsitepackages():
-        for p in glob.glob(os.path.join(root, "**", "*.png"), recursive=True):
-            b = os.path.basename(p)
-            if b in WHITELIST and b not in found:
-                found[b] = p
+        for ext in ("*.png", "*.bmp"):
+            for p in glob.glob(os.path.join(root, "**", ext), recursive=True):
+                b = os.path.basename(p)
+                # sky_01/up.png specifically (sky_02 is near-empty).
+                if b == "up.png" and "sky_01" not in p:
+                    continue
+                if b in names and b not in found:
+                    found[b] = p
     return found
 
 
@@ -72,8 +98,13 @@ def usable(crop: np.ndarray) -> bool:
     near-black padding bands, so any nontrivial near-black fraction
     disqualifies the crop."""
     g = crop.mean(axis=-1)
+    # Chroma-key rejection: pygame's fist.png photographs an arm on a
+    # saturated solid-blue screen; crops should be the skin, not the key.
+    c = crop.astype(np.float32)
+    bluescreen = ((c[..., 2] > 180) & (c[..., 0] < 90)).mean()
     return (
         g.mean() > 18.0 and g.std() > 6.0 and (g < 10.0).mean() < 0.01
+        and bluescreen < 0.10
     )
 
 
@@ -81,11 +112,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data_synth3/textures.npz")
     ap.add_argument("--per_source", type=int, default=12)
+    ap.add_argument(
+        "--holdout", action="store_true",
+        help="Harvest the HOLDOUT_WHITELIST (sources disjoint from the "
+        "synth3 training library) instead of WHITELIST.",
+    )
     args = ap.parse_args()
 
+    wl = HOLDOUT_WHITELIST if args.holdout else WHITELIST
     rng = np.random.default_rng(0)
-    found = find_whitelisted()
-    missing = sorted(set(WHITELIST) - set(found))
+    found = find_whitelisted(wl)
+    missing = sorted(set(wl) - set(found))
     if missing:
         print(f"note: not found on this host: {missing}")
 

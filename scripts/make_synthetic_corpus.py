@@ -274,6 +274,126 @@ def synth_image_photo2(rng, h, w, textures, cfg=None):
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def synth_image_photo3(rng, h, w, textures, cfg=None):
+    """Held-out-generator scene (round 5): statistics deliberately DIFFERENT
+    from photo2 so synth4 evals probe cross-generator generalization
+    (VERDICT r4 missing #1), while remaining JPEG-anchor calibratable.
+
+    Structural differences vs photo2:
+      - scene partition is a warped-Voronoi mosaic (organic wavy cell
+        boundaries), not a background + stacked ellipse/rect occluders;
+      - focus follows a per-cell DEPTH RANK (continuous blur gradient),
+        not an independent in/out-of-focus coin per object;
+      - cells may be smooth shaded gradients, not only texture fills;
+      - foreground occluders cast soft drop shadows.
+
+    cfg knobs (JPEG-anchor calibration): n_cells, warp_amp, p_texture,
+    depth_blur, p_sharp, n_fg, grain, base_zoom, psf, feather.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    cfg = cfg or {}
+    n_cells = cfg.get("n_cells", (6, 13))
+    warp_amp = cfg.get("warp_amp", (6.0, 28.0))
+    p_texture = cfg.get("p_texture", 0.75)
+    depth_blur = cfg.get("depth_blur", (1.0, 3.5))
+    p_sharp = cfg.get("p_sharp", 0.55)
+    n_fg = cfg.get("n_fg", (0, 3))
+    grain = cfg.get("grain", (0.004, 0.010))
+    base_zoom = cfg.get("base_zoom", (0.5, 1.4))
+    psf = cfg.get("psf", (0.2, 0.45))
+    feather = cfg.get("feather", (0.8, 2.0))
+    ref = min(h, w)
+
+    def blur(img, sigma):
+        if sigma <= 0.05:
+            return img
+        ax = (sigma, sigma, 0) if img.ndim == 3 else sigma
+        return gaussian_filter(img, sigma=ax)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # Warped coordinates: smooth random displacement field -> wavy borders.
+    amp = rng.uniform(*warp_amp) * ref / 512.0
+    wy = yy + amp * (grf(rng, h, w, 2.6).astype(np.float32) - 0.5) * 4.0
+    wx = xx + amp * (grf(rng, h, w, 2.6).astype(np.float32) - 0.5) * 4.0
+
+    K = int(rng.integers(n_cells[0], n_cells[1] + 1))
+    seeds = np.stack([rng.uniform(0, h, K), rng.uniform(0, w, K)], axis=1)
+    # Anisotropic metric per seed: stretches cells into elongated shapes.
+    aniso = rng.uniform(0.5, 2.0, (K, 2)).astype(np.float32)
+    d = np.stack(
+        [
+            ((wy - sy) * ay) ** 2 + ((wx - sx) * ax_) ** 2
+            for (sy, sx), (ay, ax_) in zip(seeds, aniso)
+        ]
+    )
+    labels = np.argmin(d, axis=0)
+
+    # Per-cell fills, composited back-to-front by depth rank with
+    # rank-dependent defocus. A p_sharp fraction of nearest cells is sharp.
+    order = rng.permutation(K)  # order[i] = depth rank of cell i (0=near)
+    img = np.zeros((h, w, 3), np.float32)
+    wsum = np.zeros((h, w, 1), np.float32)
+    sig_f = rng.uniform(*feather)
+    for k in range(K):
+        mask = gaussian_filter((labels == k).astype(np.float32), sig_f)
+        if mask.max() < 1e-3:
+            continue
+        rank = order[k] / max(1, K - 1)
+        if rng.random() < p_texture:
+            fill = _texture_fill(rng, textures, h, w, zoom_range=base_zoom)
+            gain = 0.55 + 0.7 * rng.random(3)
+            shade = 0.7 + 0.3 * grf(rng, h, w, 2.0)
+            fill = np.clip(fill * gain * shade[..., None], 0, 1)
+        else:
+            c0, c1 = rng.random(3), rng.random(3)
+            t = ((yy / h) * rng.uniform(-1, 1) + (xx / w) * rng.uniform(-1, 1))
+            t = (t - t.min()) / (np.ptp(t) + 1e-9)
+            fill = (c0 * (1 - t[..., None]) + c1 * t[..., None]).astype(
+                np.float32
+            )
+            fill += 0.06 * (grf(rng, h, w, 2.5)[..., None] - 0.5)
+            fill = np.clip(fill, 0, 1)
+        if rank > p_sharp:
+            # Depth-of-field: blur grows with normalized rank past the
+            # in-focus fraction.
+            t_blur = (rank - p_sharp) / max(1e-6, 1 - p_sharp)
+            fill = blur(fill, depth_blur[0] + t_blur * (depth_blur[1] - depth_blur[0]))
+        img += mask[..., None] * fill
+        wsum += mask[..., None]
+    img = img / np.maximum(wsum, 1e-6)
+
+    # Foreground occluders with soft drop shadows.
+    for _ in range(int(rng.integers(n_fg[0], n_fg[1] + 1))):
+        scale = int(ref * rng.uniform(0.10, 0.30))
+        mask = region_mask(rng, yy.astype(int), xx.astype(int), h, w, scale)
+        mask = gaussian_filter(mask.astype(np.float32), rng.uniform(0.6, 1.5))
+        if mask.max() < 1e-3:
+            continue
+        # Shadow: the mask shifted down-right, blurred, darkens the scene.
+        sh = np.roll(mask, (int(ref * 0.015), int(ref * 0.015)), (0, 1))
+        sh = gaussian_filter(sh, 3.0)
+        img *= (1.0 - 0.35 * sh)[..., None]
+        fill = _texture_fill(rng, textures, h, w, zoom_range=base_zoom)
+        gain = 0.55 + 0.7 * rng.random(3)
+        fill = np.clip(fill * gain, 0, 1)
+        img = mask[..., None] * fill + (1 - mask[..., None]) * img
+
+    # Illumination: radial vignette + directional gradient (stronger and
+    # differently shaped than photo2's purely directional term).
+    cy, cx = rng.uniform(0.3, 0.7) * h, rng.uniform(0.3, 0.7) * w
+    r2 = ((yy - cy) / h) ** 2 + ((xx - cx) / w) ** 2
+    gy, gx = rng.uniform(-1, 1, 2)
+    illum = (1.0 - rng.uniform(0.05, 0.25) * r2) * (
+        1.0 + 0.12 * (gy * (yy / h - 0.5) + gx * (xx / w - 0.5))
+    )
+    img = img * illum[..., None].astype(np.float32)
+
+    img = blur(img, rng.uniform(*psf))
+    img = img + rng.normal(0, rng.uniform(*grain), img.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
@@ -293,7 +413,7 @@ def main():
                     "aspect) or 576x768 (Tecnick-analog large images).")
     ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--style", choices=("photo", "grf", "photo2"),
+    ap.add_argument("--style", choices=("photo", "grf", "photo2", "photo3"),
                     default="photo")
     ap.add_argument("--textures", default="data_synth3/textures.npz",
                     help="Real-texture library for --style photo2 "
@@ -306,14 +426,15 @@ def main():
 
     from PIL import Image
 
-    if args.style == "photo2":
+    if args.style in ("photo2", "photo3"):
         import json
 
         textures = np.load(args.textures)["patches"]
         cfg = json.loads(args.photo2_cfg) if args.photo2_cfg else {}
         cfg = {k: tuple(v) if isinstance(v, list) else v
                for k, v in cfg.items()}
-        gen = lambda rng, h, w: synth_image_photo2(rng, h, w, textures, cfg)
+        fn = synth_image_photo2 if args.style == "photo2" else synth_image_photo3
+        gen = lambda rng, h, w: fn(rng, h, w, textures, cfg)
     else:
         gen = synth_image_photo if args.style == "photo" else synth_image
     rng = np.random.default_rng(args.seed)

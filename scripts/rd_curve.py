@@ -56,7 +56,12 @@ def _merge_detail(out_dir, detail):
     budgets; without merging, a deadline-killed re-eval would replace a
     committed 5-point curve with a 1-point partial one (ADVICE r3,
     medium). Rows are keyed by runname: fresh results win, rows not
-    re-evaluated this run are kept."""
+    re-evaluated this run are kept.
+
+    A merge across DIFFERENT eval sets is refused (ADVICE r4, low): a
+    partial re-eval with another --eval_npy into the same out dir would
+    silently mix points from two eval sets into one curve. One out dir =
+    one eval set; pass --fresh to replace the directory's curve."""
     merged = {}
     path = os.path.join(out_dir, "rd_curve.json")
     try:
@@ -65,6 +70,15 @@ def _merge_detail(out_dir, detail):
                 merged[row["runname"]] = row
     except (OSError, ValueError):
         pass
+    on_disk_evals = {r["eval"] for r in merged.values() if "eval" in r}
+    incoming_evals = {r["eval"] for r in detail if "eval" in r}
+    foreign = incoming_evals - on_disk_evals
+    if on_disk_evals and foreign:
+        raise SystemExit(
+            f"refusing to merge rows evaluated on {sorted(foreign)} into "
+            f"{path} which holds rows for {sorted(on_disk_evals)}; use a "
+            "different --out or pass --fresh to replace the curve"
+        )
     for row in detail:
         merged[row["runname"]] = row
     return sorted(merged.values(), key=lambda r: (r["lmbda"], r["runname"]))

@@ -60,14 +60,31 @@ def main():
     ap.add_argument("--size", type=int, default=24)
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--band_offset", type=float, default=0.0,
+        help="Shift the Kodak JPEG band targets by this many dB. The "
+        "Tecnick-analog 1200x1200 set targets +2.9 dB: the golden "
+        "mbt2018 curves sit 2.9 dB higher on Tecnick than Kodak at "
+        "matched bpp (mean over the overlapping range), and the probe "
+        "assumes JPEG's content-difficulty offset matches the learned "
+        "codec's.",
+    )
+    ap.add_argument(
+        "--target_bpp", default="0.5,0.75,1.0",
+        help="Comma-separated bpps at which the subset mean JPEG curve is "
+        "matched to the (offset) band centers.",
+    )
     args = ap.parse_args()
 
     pool = np.concatenate([np.load(p) for p in args.candidates])
     print(f"pool: {pool.shape[0]} candidates from {len(args.candidates)} files")
     bpps, psnrs = per_image_curves(pool)
 
-    centers = {b: (lo + hi) / 2 for b, lo, hi in KODAK_JPEG_BAND}
-    targets = [(b, centers[b]) for b in TARGET_BPP]
+    centers = {
+        b: (lo + hi) / 2 + args.band_offset for b, lo, hi in KODAK_JPEG_BAND
+    }
+    target_bpp = tuple(float(v) for v in args.target_bpp.split(","))
+    targets = [(b, centers[b]) for b in target_bpp]
 
     rng = np.random.default_rng(args.seed)
     idx = np.sort(rng.choice(pool.shape[0], args.size, replace=False))
@@ -82,7 +99,7 @@ def main():
         s = subset_score(bpps, psnrs, trial, targets)
         if s < best:
             best, idx = s, trial
-    print(f"final score (sum sq dB err at {TARGET_BPP}): {best:.4f}")
+    print(f"final score (sum sq dB err at {target_bpp}): {best:.4f}")
 
     subset = pool[idx]
     np.save(args.out, subset)
@@ -90,12 +107,14 @@ def main():
 
     mb = bpps[idx].mean(axis=0)
     mp = psnrs[idx].mean(axis=0)
+    off = args.band_offset
     for bpp, lo, hi in KODAK_JPEG_BAND:
         if bpp < mb[0] or bpp > mb[-1]:
             continue
         got = float(np.interp(bpp, mb, mp))
+        lo, hi = lo + off, hi + off
         tag = "matched" if lo - 0.5 <= got <= hi + 0.5 else "OFF"
-        print(f"  @{bpp:.2f} bpp: {got:6.2f} dB (Kodak {lo:.1f}-{hi:.1f}) {tag}")
+        print(f"  @{bpp:.2f} bpp: {got:6.2f} dB (target {lo:.1f}-{hi:.1f}) {tag}")
 
 
 if __name__ == "__main__":
