@@ -70,7 +70,7 @@ for d in results/synth4 results/synth3 results/photos_synth3 ; do
     && mv "$d/bd_report.md.tmp" "$d/bd_report.md"
 done
 if [ -f results/synth4_tecnick/sga-psnr.csv ]; then
-  python scripts/bd_report.py results/synth4_tecnick --golden tecnick \
+  python scripts/bd_report.py results/synth4_tecnick --dataset tecnick \
     > results/synth4_tecnick/bd_report.md.tmp 2>> $L/r5-bd.log \
     && mv results/synth4_tecnick/bd_report.md.tmp results/synth4_tecnick/bd_report.md
 fi
