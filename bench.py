@@ -102,7 +102,7 @@ def _build(batch, h, w, quant=None):
 
 
 def _measure_reference_emulation(model, params, x, iterations=2000,
-                                 timed_steps=30, lmbda=0.01):
+                                 timed_steps=100, lmbda=0.01):
     """Per-step time of the TF1 loop shape on this chip: one jit dispatch
     per step (fwd+bwd), gradients to host, numpy Adam (reference
     adam.py:8-59 semantics), latents fed back as fresh arrays. Returns
@@ -376,6 +376,7 @@ def main(argv):
             json.dumps(
                 {
                     "metric": f"mbt2018 decompress ({h}x{w}, nf=192)",
+                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "value": results["single_stream"]["images_per_sec"],
                     "unit": "images/sec/chip",
                     "batch": xs.shape[0],
@@ -394,6 +395,7 @@ def main(argv):
                 {
                     "metric": "TF1-loop-shape SGA emulation (per-step dispatch "
                     "+ host numpy Adam, extrapolated to 2000 its)",
+                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "value": round(ips, 5),
                     "unit": "images/sec/chip",
                     "per_step_ms": round(per_step * 1000, 1),
@@ -427,8 +429,12 @@ def main(argv):
     # Measured anchor: the reference's loop shape on this same chip/batch.
     # Retried — a populated anchor is a deliverable, not best-effort
     # (BENCH_r02 shipped without one because a single throw was swallowed).
+    # 100 timed steps (VERDICT r4 weak #1: 30 was too few for a quantity
+    # that swings 1.8x run-to-run); --no-anchor skips it for A/B windows
+    # that pair against a same-session full run instead.
     measured_anchor, anchor_step_s, anchor_err = None, None, None
-    for attempt in range(3):
+    anchor_attempts = 0 if "--no-anchor" in argv else 3
+    for attempt in range(anchor_attempts):
         try:
             measured_anchor, anchor_step_s = _measure_reference_emulation(
                 model, params, x, iterations
@@ -463,6 +469,7 @@ def main(argv):
             f"SGA inference throughput ({iterations} its, {h}x{w}, nf=192, "
             f"{'int8-fwd' if quant else 'bf16'})"
         ),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
@@ -482,6 +489,7 @@ def main(argv):
     if measured_anchor is not None:
         out["measured_anchor"] = round(measured_anchor, 5)
         out["measured_anchor_step_ms"] = round(anchor_step_s * 1000, 1)
+        out["measured_anchor_timed_steps"] = 100
         out["vs_measured_anchor"] = round(images_per_sec / measured_anchor, 2)
     elif anchor_err is not None:
         out["measured_anchor_error"] = anchor_err
