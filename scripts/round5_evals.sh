@@ -25,6 +25,30 @@ evalrun() {
   log "eval rc=$?"
 }
 
+# 0. Cross-generator probe (the 2x2 experiment): an mbt2018 lambda=0.01
+#    model trained on the synth4 (held-out generator) corpus. Evaluating
+#    {synth3-trained, synth4-trained} x {synth3-eval, synth4-eval} directly
+#    measures the same-generator advantage that confounds the +2.4 dB
+#    headline (VERDICT r4 missing #1 / weak #3).
+if [ -d data_synth4/train ]; then
+  remaining=$(( DEADLINE - $(now) ))
+  budget=$(( remaining - 5400 ))   # leave >=90 min for the evals below
+  if [ $budget -gt 1200 ]; then
+    [ $budget -gt 3300 ] && budget=3300
+    log "probe train mbt2018 lmbda=0.01 on synth4 (budget ${budget}s)"
+    timeout $budget python -m nic_tpu --num_filters 192 \
+      --checkpoint_dir checkpoints_synth4 mbt2018 train \
+      --train_glob 'data_synth4/train/*.png' \
+      --lambda 0.01 --batchsize 8 --patchsize 256 --last_step 160000 \
+      --save_checkpoint_secs 600 --steps_per_call 64 --retries 6 \
+      --grad_clip 10 --divergence_threshold 500 \
+      >> $L/r5-probe-synth4.log 2>&1
+    log "probe train rc=$?"
+  else
+    log "skip probe train (deadline)"
+  fi
+fi
+
 # 1. The held-out synth4 set (VERDICT r4 missing #1): disjoint texture
 #    sources + different compositing statistics, JPEG-matched to Kodak.
 if [ -f data_synth4/eval_512x768.npy ]; then
@@ -55,7 +79,17 @@ fi
 evalrun 20 data_real/eval_photos.npy --checkpoint_dir checkpoints_synth3 \
   --out results/photos_synth3 --methods amortized,sga --num_filters 192
 
-# 6. bits-back on the held-out synth4 set (if time allows).
+# 6. The probe's two cells of the 2x2 (synth4-trained model on both eval
+#    sets, amortized+sga at its single lambda).
+if [ -d checkpoints_synth4 ] && [ -f data_synth4/eval_512x768.npy ]; then
+  evalrun 15 data_synth4/eval_512x768.npy --checkpoint_dir checkpoints_synth4 \
+    --out results/synth4_probe --methods amortized,sga --num_filters 192
+  evalrun 15 data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth4 \
+    --out results/synth4_probe_on_synth3 --methods amortized,sga \
+    --num_filters 192
+fi
+
+# 7. bits-back on the held-out synth4 set (if time allows).
 if [ -f data_synth4/eval_512x768.npy ]; then
   evalrun 30 data_synth4/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
     --out results/synth4_bb --model mbt2018_bb --methods bb_plain,bb_sga \
