@@ -1,0 +1,194 @@
+"""Cross-generator 2x2 report: how much of the synth3 BD headline is
+same-generator advantage? (VERDICT r4 missing #1 / weak #3, ADVICE r4 medium)
+
+Round 4's "+2.4 dB vs golden Kodak" was measured on eval content from the
+SAME generator + texture library the models trained on, while the golden
+numbers are cross-dataset (CLIC-2018 -> Kodak). Round 5 adds a held-out
+generator (synth4: disjoint texture sources, different compositing
+statistics, same JPEG-difficulty calibration) and a probe model trained on
+synth4 — giving a full 2x2:
+
+                 eval synth3        eval synth4
+  train synth3   in-distribution    HELD OUT
+  train synth4   HELD OUT           in-distribution
+
+Same-generator advantage (per eval set, at matched bpp):
+  adv(S3) = PSNR[T3 on S3] - PSNR[T4 on S3]   (T3 in-dist, T4 held out)
+  adv(S4) = PSNR[T4 on S4] - PSNR[T3 on S4]
+The probe trains fewer steps than the synth3 family, which biases adv(S3)
+UP and adv(S4) DOWN by the same depth gap; the mean cancels it to first
+order. The held-out-BD headline = BD(T3 on S4) from results/synth4.
+
+Also compares learned-codec difficulty deltas between eval sets (synth3
+models' PSNR-at-matched-bpp on each set) with the JPEG probe's deltas —
+the learned-codec difficulty anchor the JPEG probe cannot provide.
+
+Usage: python scripts/cross_report.py [--out results/cross_report.md]
+Reads results/{synth3,synth4,synth4_probe,synth4_probe_on_synth3}/rd_curve.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from jpeg_anchor import anchor_curve, psnr_at_bpp  # noqa: E402
+
+
+def load_curves(path):
+    """{method: sorted [(bpp, psnr)]} from an rd_curve.json, plus meta."""
+    with open(path) as f:
+        rows = json.load(f)
+    curves, steps, evals = {}, {}, set()
+    for row in rows:
+        evals.add(row.get("eval", "?"))
+        for m, res in row["methods"].items():
+            curves.setdefault(m, []).append((res["bpp"], res["psnr"]))
+            steps.setdefault(m, []).append(row.get("step"))
+    return {m: sorted(v) for m, v in curves.items()}, steps, evals
+
+
+def interp(curve, bpp):
+    xs = np.array([b for b, _ in curve])
+    ys = np.array([p for _, p in curve])
+    if not (xs[0] <= bpp <= xs[-1]):
+        return None
+    return float(np.interp(bpp, xs, ys))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/cross_report.md")
+    ap.add_argument("--results", default="results")
+    args = ap.parse_args()
+
+    R = args.results
+    needed = {
+        "t3_s3": f"{R}/synth3/rd_curve.json",
+        "t3_s4": f"{R}/synth4/rd_curve.json",
+        "t4_s4": f"{R}/synth4_probe/rd_curve.json",
+        "t4_s3": f"{R}/synth4_probe_on_synth3/rd_curve.json",
+    }
+    missing = {k: p for k, p in needed.items() if not os.path.exists(p)}
+    if missing:
+        raise SystemExit(f"missing rd_curve.json inputs: {missing}")
+
+    data = {k: load_curves(p) for k, p in needed.items()}
+
+    lines = ["# Cross-generator 2x2 (round 5)", ""]
+    lines.append(
+        "Same-generator advantage measured by evaluating the synth3-trained "
+        "family (T3) and a synth4-trained probe (T4) on BOTH eval sets; "
+        "deltas at the probe's bpp via interpolation on the 5-point curves."
+    )
+    lines.append("")
+    lines.append("| method | cell | bpp | PSNR | vs cross-trained | ")
+    lines.append("|---|---|---|---|---|")
+
+    advs = {}
+    for method in ("amortized", "sga"):
+        rows = []
+        ok = all(method in data[k][0] for k in needed)
+        if not ok:
+            lines.append(f"| {method} | (missing a cell) | | | |")
+            continue
+        t3_s3 = data["t3_s3"][0][method]
+        t3_s4 = data["t3_s4"][0][method]
+        t4_s3 = data["t4_s3"][0][method]   # single point (probe lambda)
+        t4_s4 = data["t4_s4"][0][method]
+        adv = {}
+        for (pt_list, curve, evalset, sign) in (
+            (t4_s3, t3_s3, "synth3", +1),
+            (t4_s4, t3_s4, "synth4", -1),
+        ):
+            for bpp, psnr in pt_list:
+                at = interp(curve, bpp)
+                if at is None:
+                    rows.append((method, f"T4 on {evalset}", bpp, psnr, "out of T3 range"))
+                    continue
+                delta = sign * (at - psnr)
+                adv[evalset] = delta
+                rows.append(
+                    (method, f"T4 on {evalset}", round(bpp, 4), round(psnr, 3),
+                     f"T3 = {at:.3f} dB at same bpp -> in-dist adv "
+                     f"{delta:+.2f} dB")
+                )
+        for r in rows:
+            lines.append("| " + " | ".join(str(v) for v in r) + " |")
+        if len(adv) == 2:
+            mean_adv = (adv["synth3"] + adv["synth4"]) / 2
+            advs[method] = (adv, mean_adv)
+            lines.append(
+                f"| {method} | **mean same-generator advantage** | | | "
+                f"**{mean_adv:+.2f} dB** (synth3 cell {adv['synth3']:+.2f}, "
+                f"synth4 cell {adv['synth4']:+.2f}; depth bias cancels in the "
+                "mean) |"
+            )
+    lines.append("")
+
+    # Learned-codec vs JPEG difficulty deltas between eval sets.
+    lines.append("## Learned-codec vs JPEG difficulty deltas")
+    lines.append("")
+    sets = {
+        "synth3": "data_synth3/eval_512x768.npy",
+        "synth4": "data_synth4/eval_512x768.npy",
+        "photos": "data_real/eval_photos.npy",
+    }
+    t3_curves = {
+        "synth3": data["t3_s3"][0],
+        "synth4": data["t3_s4"][0],
+    }
+    photos_path = f"{R}/photos_synth3/rd_curve.json"
+    if os.path.exists(photos_path):
+        t3_curves["photos"] = load_curves(photos_path)[0]
+    # JPEG per-set curves (cached — the probe is slow on this host).
+    cache = f"{R}/jpeg_curves_cache.json"
+    jpeg = {}
+    if os.path.exists(cache):
+        jpeg = json.load(open(cache))
+    for name, path in sets.items():
+        if name not in jpeg and os.path.exists(path):
+            imgs = np.load(path)
+            jpeg[name] = anchor_curve(imgs)
+            with open(cache, "w") as f:
+                json.dump(jpeg, f)
+    lines.append("| pair | @bpp | JPEG dPSNR | learned (T3, sga) dPSNR |")
+    lines.append("|---|---|---|---|")
+    for a, b in (("synth3", "synth4"), ("synth3", "photos"), ("synth4", "photos")):
+        for bpp in (0.5, 0.75):
+            jd = None
+            if a in jpeg and b in jpeg:
+                pa, pb = psnr_at_bpp(jpeg[a], bpp), psnr_at_bpp(jpeg[b], bpp)
+                if pa is not None and pb is not None:
+                    jd = pa - pb
+            ld = None
+            if a in t3_curves and b in t3_curves:
+                ca = t3_curves[a].get("sga")
+                cb = t3_curves[b].get("sga")
+                if ca and cb:
+                    la, lb = interp(ca, bpp), interp(cb, bpp)
+                    if la is not None and lb is not None:
+                        ld = la - lb
+            lines.append(
+                f"| {a} - {b} | {bpp} | "
+                f"{'—' if jd is None else f'{jd:+.2f}'} | "
+                f"{'—' if ld is None else f'{ld:+.2f}'} |"
+            )
+    lines.append("")
+    lines.append(
+        "A learned delta far above the JPEG delta for a same-vs-held-out "
+        "pair quantifies in-distribution advantage invisible to JPEG."
+    )
+
+    text = "\n".join(lines) + "\n"
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
