@@ -62,24 +62,7 @@ fi
 evalrun 35 data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
   --out results/synth3 --methods amortized,sga --num_filters 192
 
-# 3. Full 5-point bits-back curve (VERDICT r4 missing #3).
-evalrun 30 data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
-  --out results/synth3_bb --model mbt2018_bb --methods bb_plain,bb_sga \
-  --num_filters 192
-
-# 4. Tecnick analog: 1200x1200 difficulty-matched set (VERDICT r4 #3).
-if [ -f data_synth4/eval_1200.npy ]; then
-  evalrun 60 data_synth4/eval_1200.npy --checkpoint_dir checkpoints_synth3 \
-    --out results/synth4_tecnick --methods amortized,sga --num_filters 192
-else
-  log "data_synth4/eval_1200.npy missing — skipped"
-fi
-
-# 5. Real photos with the deepened synth3 models (held-out real content).
-evalrun 20 data_real/eval_photos.npy --checkpoint_dir checkpoints_synth3 \
-  --out results/photos_synth3 --methods amortized,sga --num_filters 192
-
-# 6. The probe's two cells of the 2x2 (synth4-trained model on both eval
+# 3. The probe's two cells of the 2x2 (synth4-trained model on both eval
 #    sets, amortized+sga at its single lambda).
 if [ -d checkpoints_synth4 ] && [ -f data_synth4/eval_512x768.npy ]; then
   evalrun 15 data_synth4/eval_512x768.npy --checkpoint_dir checkpoints_synth4 \
@@ -89,12 +72,22 @@ if [ -d checkpoints_synth4 ] && [ -f data_synth4/eval_512x768.npy ]; then
     --num_filters 192
 fi
 
-# 7. bits-back on the held-out synth4 set (if time allows).
-if [ -f data_synth4/eval_512x768.npy ]; then
-  evalrun 30 data_synth4/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
-    --out results/synth4_bb --model mbt2018_bb --methods bb_plain,bb_sga \
-    --num_filters 192
+# 4. Full 5-point bits-back curve (VERDICT r4 missing #3).
+evalrun 30 data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
+  --out results/synth3_bb --model mbt2018_bb --methods bb_plain,bb_sga \
+  --num_filters 192
+
+# 5. Tecnick analog: 1200x1200 difficulty-matched set (VERDICT r4 #3).
+if [ -f data_synth4/eval_1200.npy ]; then
+  evalrun 60 data_synth4/eval_1200.npy --checkpoint_dir checkpoints_synth3 \
+    --out results/synth4_tecnick --methods amortized,sga --num_filters 192
+else
+  log "data_synth4/eval_1200.npy missing — skipped"
 fi
+
+# 6. Real photos with the deepened synth3 models (held-out real content).
+evalrun 20 data_real/eval_photos.npy --checkpoint_dir checkpoints_synth3 \
+  --out results/photos_synth3 --methods amortized,sga --num_filters 192
 
 # ---- reports ---------------------------------------------------------------
 log "bd reports"
@@ -108,10 +101,14 @@ if [ -f results/synth4_tecnick/sga-psnr.csv ]; then
     > results/synth4_tecnick/bd_report.md.tmp 2>> $L/r5-bd.log \
     && mv results/synth4_tecnick/bd_report.md.tmp results/synth4_tecnick/bd_report.md
 fi
-for d in results/synth3_bb results/synth4_bb; do
+for d in results/synth3_bb; do
   [ -f $d/bb_sga-psnr.csv ] || continue
   python scripts/bd_report.py "$d" --methods bb_sga:bb_sga \
     > "$d/bd_report.md.tmp" 2>> $L/r5-bd.log \
     && mv "$d/bd_report.md.tmp" "$d/bd_report.md"
 done
+# Cross-generator 2x2 + difficulty-anchor report (needs the probe cells).
+python scripts/cross_report.py >> $L/r5-cross.log 2>&1 \
+  && log "cross_report written" || log "cross_report failed (see r5-cross.log)"
+
 log "evals complete"
