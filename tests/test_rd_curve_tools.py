@@ -40,6 +40,31 @@ class TestFindRuns:
         bb = find_runs(str(tmp_path), 192, "mbt2018_bb")
         assert [r[0] for r in bb] == ["mbt2018_bb-num_filters=192-lmbda=0.01"]
 
+    def test_merge_refuses_foreign_eval_set(self, tmp_path):
+        """ADVICE r4 low: a partial re-eval with a different --eval_npy must
+        not silently mix points from two eval sets into one curve."""
+        import json
+
+        import pytest
+
+        from rd_curve import _merge_detail
+
+        row_a = {"runname": "r1", "lmbda": 0.01, "eval": "a.npy",
+                 "methods": {"sga": {"bpp": 0.4, "psnr": 33.0}}}
+        (tmp_path / "rd_curve.json").write_text(json.dumps([row_a]))
+        row_b = dict(row_a, eval="b.npy")
+        with pytest.raises(SystemExit, match="refusing to merge"):
+            _merge_detail(str(tmp_path), [row_b])
+        # Same eval set merges fine; rows keyed by runname.
+        merged = _merge_detail(str(tmp_path), [dict(row_a, lmbda=0.02)])
+        assert len(merged) == 1 and merged[0]["lmbda"] == 0.02
+        # Legacy rows without an eval key do not block.
+        (tmp_path / "rd_curve.json").write_text(
+            json.dumps([{k: v for k, v in row_a.items() if k != "eval"}])
+        )
+        merged = _merge_detail(str(tmp_path), [row_b])
+        assert len(merged) == 1
+
     def test_lmbda_filter_selects_exactly_one(self, tmp_path):
         from rd_curve import find_runs
 
