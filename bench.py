@@ -343,17 +343,25 @@ def main(argv):
         codec.coder.decode_batch = _timed(orig_decode_batch)
 
         results = {}
-        for variant, parallel, unfused in (
-            ("single_stream", False, False),
-            ("per_image_streams", True, False),
+        for variant, parallel, unfused, slim in (
+            ("single_stream", False, False, False),
+            ("per_image_streams", True, False, False),
             # Pre-fusion dispatch pipeline (4+ device programs instead of 2):
             # isolates how much of the decode wall is tunnel dispatch count.
-            ("single_stream_unfused", False, True),
+            ("single_stream_unfused", False, True, False),
+            # Slim host<->device transfers (uint8 indexes, int16 symbols,
+            # uint8 pixels): isolates how much is tunnel BANDWIDTH.
+            ("single_stream_slim", False, False, True),
+            ("per_image_streams_slim", True, False, True),
         ):
             if unfused:
                 os.environ["NIC_TPU_DECODE_UNFUSED"] = "1"
             else:
                 os.environ.pop("NIC_TPU_DECODE_UNFUSED", None)
+            if slim:
+                os.environ["NIC_TPU_DECODE_SLIM"] = "1"
+            else:
+                os.environ.pop("NIC_TPU_DECODE_SLIM", None)
             blob, _ = codec.compress(xs, parallel=parallel)
             codec.decompress(blob)  # warm compiles
             best, best_host = float("inf"), 0.0
@@ -372,6 +380,7 @@ def main(argv):
                 "stream_bytes": len(blob),
             }
         os.environ.pop("NIC_TPU_DECODE_UNFUSED", None)
+        os.environ.pop("NIC_TPU_DECODE_SLIM", None)
         print(
             json.dumps(
                 {

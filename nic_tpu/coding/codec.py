@@ -24,6 +24,26 @@ def _decode_unfused() -> bool:
     for bench.py --decode A/Bs, not a user knob."""
     return bool(os.environ.get("NIC_TPU_DECODE_UNFUSED"))
 
+
+def _decode_slim() -> bool:
+    """Slim host<->device transfers on the decode path: scale-table indexes
+    cross as uint8 (64 levels), y symbols as int16, and the reconstruction
+    as uint8 pixels converted to float on the host. Per 4-image Kodak-sized
+    decode this cuts the tunnel traffic ~28 MB -> ~8 MB; the returned image
+    equals the wide path's after PNG quantization (round(x*255)/255), which
+    is exactly what the reference's decompress writes (mbt2018.py:288-295).
+    """
+    return bool(os.environ.get("NIC_TPU_DECODE_SLIM"))
+
+def _maybe_narrow(y_symbols: "np.ndarray", slim: bool) -> "np.ndarray":
+    """int16 upload for the y symbols when slim and the range allows (it
+    always does in practice: symbols live within the coding-table support,
+    |s| <~ 128; bypass-coded outliers could exceed it, so check)."""
+    if slim and np.abs(y_symbols).max(initial=0) < 32000:
+        return y_symbols.astype(np.int16)
+    return y_symbols
+
+
 from nic_tpu.coding.coder import RansCoder
 from nic_tpu.coding.container import PackedBitstream
 from nic_tpu.coding.tables import CdfTable
@@ -50,37 +70,50 @@ def _dequantize_z(model, params, z_symbols):
     return z_symbols.astype(jnp.float32) + medians
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _mu_sigma_pass(model, params, z_hat, y_hw):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _mu_sigma_pass(model, params, z_hat, y_hw, slim=False):
     mu, sigma = model.apply(
         {"params": params}, z_hat, y_hw, method=model.hyper_synthesize
     )
-    return mu, sigma, _GC.scale_indexes(_GC.bound_scale(sigma))
+    indexes = _GC.scale_indexes(_GC.bound_scale(sigma))
+    if slim:
+        indexes = indexes.astype(jnp.uint8)
+    return mu, sigma, indexes
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _z_symbols_to_mu_sigma(model, params, z_symbols, y_hw):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _z_symbols_to_mu_sigma(model, params, z_symbols, y_hw, slim=False):
     """Fused decode pass 1: median-dequantize the rANS-decoded z symbols and
     run h_s, one device program instead of two. Through the TPU tunnel each
     dispatch costs far more than the compute at serving batch sizes, so the
-    decode wall is dispatch-count-bound (bench.py --decode breakdown)."""
+    decode wall is dispatch-count-bound (bench.py --decode breakdown).
+    slim=True downloads the scale indexes as uint8 (64 levels)."""
     medians = model.apply({"params": params}, method=model.medians)
     z_hat = z_symbols.astype(jnp.float32) + medians
     mu, sigma = model.apply(
         {"params": params}, z_hat, y_hw, method=model.hyper_synthesize
     )
-    return z_hat, mu, _GC.scale_indexes(_GC.bound_scale(sigma))
+    indexes = _GC.scale_indexes(_GC.bound_scale(sigma))
+    if slim:
+        indexes = indexes.astype(jnp.uint8)
+    return z_hat, mu, indexes
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def _reconstruct_pass(model, params, y_symbols, mu, x_hw, round_mu=False):
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _reconstruct_pass(model, params, y_symbols, mu, x_hw, round_mu=False,
+                      as_uint8=False):
     """Fused decode pass 2: mean-dequantize the rANS-decoded y symbols, run
     g_s, and clip — one device program. round_mu selects the optimized-latent
-    convention (y_star = symbols + round(mu), codec.compress_optimized)."""
+    convention (y_star = symbols + round(mu), codec.compress_optimized).
+    as_uint8 quantizes to PNG pixels on device (4x smaller host fetch; the
+    reference decompress also only ever emits uint8, mbt2018.py:288-295)."""
     center = jnp.round(mu) if round_mu else mu
     y_hat = y_symbols.astype(jnp.float32) + center
     x_hat = model.apply({"params": params}, y_hat, x_hw, method=model.synthesize)
-    return jnp.clip(x_hat, 0.0, 1.0)
+    x_hat = jnp.clip(x_hat, 0.0, 1.0)
+    if as_uint8:
+        return jnp.round(x_hat * 255.0).astype(jnp.uint8)
+    return x_hat
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -320,16 +353,21 @@ class HyperpriorCodec:
             x_hat = _synthesize_pass(self.model, self.params, y_star, (xh, xw))
             return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
 
-        mu, _, y_indexes = _mu_sigma_pass(self.model, self.params, z_star, (yh, yw))
-        y_indexes = np.asarray(jax.device_get(y_indexes))
+        slim = _decode_slim()
+        mu, _, y_indexes = _mu_sigma_pass(
+            self.model, self.params, z_star, (yh, yw), slim
+        )
+        y_indexes = np.asarray(jax.device_get(y_indexes)).astype(np.int32)
         y_rel = self.coder.decode(
             packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
         )
-        y_symbols = yt.values_from_symbols(y_rel, y_indexes)
+        y_symbols = _maybe_narrow(yt.values_from_symbols(y_rel, y_indexes), slim)
         x_hat = _reconstruct_pass(
-            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), True
+            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), True,
+            slim,
         )
-        return np.asarray(jax.device_get(x_hat))
+        x_hat = np.asarray(jax.device_get(x_hat))
+        return x_hat.astype(np.float32) / 255.0 if slim else x_hat
 
     def decompress(self, blob: bytes) -> np.ndarray:
         """Inverse of compress: bitstream -> float [N,H,W,3] reconstruction
@@ -370,18 +408,19 @@ class HyperpriorCodec:
             )
         z_symbols = zt.values_from_symbols(z_rel, z_rows)
 
+        slim = _decode_slim()
         if _decode_unfused():
             # Pre-fusion path (4 device programs + clip), kept selectable so
             # bench.py --decode can A/B the dispatch-count saving.
             z_hat = _dequantize_z(self.model, self.params, jnp.asarray(z_symbols))
             mu, _, y_indexes = _mu_sigma_pass(
-                self.model, self.params, z_hat, (yh, yw)
+                self.model, self.params, z_hat, (yh, yw), slim
             )
         else:
             _, mu, y_indexes = _z_symbols_to_mu_sigma(
-                self.model, self.params, jnp.asarray(z_symbols), (yh, yw)
+                self.model, self.params, jnp.asarray(z_symbols), (yh, yw), slim
             )
-        y_indexes = np.asarray(jax.device_get(y_indexes))
+        y_indexes = np.asarray(jax.device_get(y_indexes)).astype(np.int32)
         if side_sizes is not None:
             y_rel = self.coder.decode_batch(
                 _split(packed.get_stream("string"), packed.get_ints("string_sizes")),
@@ -391,12 +430,14 @@ class HyperpriorCodec:
             y_rel = self.coder.decode(
                 packed.get_stream("string"), y_indexes, yt.cdfs, yt.cdf_sizes
             )
-        y_symbols = yt.values_from_symbols(y_rel, y_indexes)
+        y_symbols = _maybe_narrow(yt.values_from_symbols(y_rel, y_indexes), slim)
         if _decode_unfused():
-            y_hat = jnp.asarray(y_symbols, jnp.float32) + mu
+            y_hat = jnp.asarray(y_symbols).astype(jnp.float32) + mu
             x_hat = _synthesize_pass(self.model, self.params, y_hat, (xh, xw))
             return np.asarray(jax.device_get(jnp.clip(x_hat, 0.0, 1.0)))
         x_hat = _reconstruct_pass(
-            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), False
+            self.model, self.params, jnp.asarray(y_symbols), mu, (xh, xw), False,
+            slim,
         )
-        return np.asarray(jax.device_get(x_hat))
+        x_hat = np.asarray(jax.device_get(x_hat))
+        return x_hat.astype(np.float32) / 255.0 if slim else x_hat

@@ -160,3 +160,38 @@ class TestFusedDecodePipeline:
         res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=10))
         blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
         self._ab(codec, blob, monkeypatch)
+
+
+class TestSlimDecodePipeline:
+    """NIC_TPU_DECODE_SLIM shrinks host<->device transfers (uint8 scale
+    indexes, int16 y symbols, uint8 pixels). The decoded image must equal
+    the wide path's after PNG quantization — exactly what the reference
+    decompress emits (mbt2018.py:288-295)."""
+
+    def _ab(self, codec, blob, monkeypatch):
+        wide = codec.decompress(blob)
+        monkeypatch.setenv("NIC_TPU_DECODE_SLIM", "1")
+        slim = codec.decompress(blob)
+        monkeypatch.delenv("NIC_TPU_DECODE_SLIM")
+        np.testing.assert_array_equal(
+            np.round(slim * 255.0).astype(np.uint8),
+            np.round(wide * 255.0).astype(np.uint8),
+        )
+        assert slim.dtype == np.float32
+        assert np.all(slim >= 0.0) and np.all(slim <= 1.0)
+
+    def test_amortized_stream_slim_equals_wide(self, codec, image, monkeypatch):
+        blob, _ = codec.compress(image)
+        self._ab(codec, blob, monkeypatch)
+
+    def test_parallel_stream_slim_equals_wide(self, codec, image, monkeypatch):
+        blob, _ = codec.compress(image, parallel=True)
+        self._ab(codec, blob, monkeypatch)
+
+    def test_optimized_stream_slim_equals_wide(self, codec, image, monkeypatch):
+        from nic_tpu.infer import SGA, LatentOptimizer
+
+        opt = LatentOptimizer(codec.model, codec.params)
+        res = opt.optimize(image, lmbda=0.01, method=SGA.replace(iterations=10))
+        blob = codec.compress_optimized(res["y"], res["z"], image.shape[1:3])
+        self._ab(codec, blob, monkeypatch)
