@@ -82,3 +82,37 @@ def test_bd_report_matches_csvs(report):
             f"{report}: {r.group('csv')} avg gap {r.group('gap')} != "
             f"recomputed {gap_now:+.3f} — regenerate the report"
         )
+
+
+def test_decode_rule_matches_artifacts():
+    """results/decode_rule.md is derived from results/bench_decode_*.json;
+    regenerating it must reproduce the committed file byte-for-byte (same
+    gate philosophy as the bd_report test: derived artifacts can't drift
+    from their inputs silently)."""
+    rule = os.path.join(REPO, "results", "decode_rule.md")
+    if not os.path.exists(rule):
+        pytest.skip("no decode_rule.md committed yet")
+    import importlib.util
+    import io
+    import contextlib
+
+    spec = importlib.util.spec_from_file_location(
+        "decode_rule", os.path.join(REPO, "scripts", "decode_rule.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = open(rule).read()
+    cwd = os.getcwd()
+    try:
+        os.chdir(REPO)
+        with contextlib.redirect_stdout(io.StringIO()):
+            assert mod.main() == 0
+        regenerated = open(rule).read()
+    finally:
+        os.chdir(cwd)
+        with open(rule, "w") as f:
+            f.write(committed)
+    assert regenerated == committed, (
+        "decode_rule.md is stale — rerun scripts/decode_rule.py after "
+        "adding/removing bench_decode artifacts"
+    )
