@@ -56,10 +56,14 @@ def _run_with_retry(extra_args) -> int:
     env = dict(os.environ, **{_INNER_ENV: "1"})
     for attempt in range(3):
         try:
+            # stderr passes through live (stage progress markers land in the
+            # caller's log even if the run is killed by an outer timeout —
+            # the r5 window-1 bench timed out with zero attribution because
+            # everything was captured); stdout is parsed for the JSON line.
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *extra_args],
                 env=env,
-                capture_output=True,
+                stdout=subprocess.PIPE,
                 text=True,
                 timeout=3000,  # a down tunnel hangs dispatches; don't hang
             )
@@ -74,9 +78,17 @@ def _run_with_retry(extra_args) -> int:
             if line.startswith("{"):
                 print(line)
                 return 0
-        sys.stderr.write(proc.stderr[-2000:] + "\n")
         sys.stderr.write(f"bench attempt {attempt + 1} failed; retrying...\n")
     return 1
+
+
+def _stage(msg):
+    """Progress marker on stderr with a UTC stamp: makes an externally
+    killed run attributable to the stage it died in."""
+    sys.stderr.write(
+        f"[bench {time.strftime('%H:%M:%S', time.gmtime())}Z] {msg}\n"
+    )
+    sys.stderr.flush()
 
 
 def _build(batch, h, w, quant=None):
@@ -414,10 +426,12 @@ def main(argv):
         return
 
     # Session-speed fingerprint BEFORE the heavy runs (tunnel drift defense).
+    _stage("calibration")
     try:
         calibration_ms = _calibration_ms()
     except Exception:
         calibration_ms = None
+    _stage(f"calibration done ({calibration_ms} ms); warmup/compile")
 
     # Warmup: compile all chunked programs with a short run.
     warm = opt.optimize(x, lmbda=0.01, method=SGA.replace(iterations=400), seed=0)
@@ -427,6 +441,7 @@ def main(argv):
     # tunnel drift (4x by time of day) is visible, not hidden in a min().
     run_times = []
     for s in (1, 2, 3):
+        _stage(f"timed run {s}/3")
         t0 = time.perf_counter()
         res = opt.optimize(x, lmbda=0.01, method=SGA, seed=s)
         run_times.append(time.perf_counter() - t0)
@@ -445,6 +460,7 @@ def main(argv):
     anchor_attempts = 0 if "--no-anchor" in argv else 3
     for attempt in range(anchor_attempts):
         try:
+            _stage(f"measured anchor (100 per-dispatch steps), attempt {attempt + 1}")
             measured_anchor, anchor_step_s = _measure_reference_emulation(
                 model, params, x, iterations
             )
@@ -457,6 +473,7 @@ def main(argv):
             )
             time.sleep(5)
 
+    _stage("MFU cost analysis")
     mfu, mfu_hand = _chunk_mfu(model, params, opt, x, best_dt / iterations * 200)
     peak = V5E_PEAK_INT8_OPS if quant else V5E_PEAK_BF16_FLOPS
     scale = V5E_PEAK_BF16_FLOPS / peak  # _chunk_mfu normalizes by bf16 peak
