@@ -290,7 +290,17 @@ def _calibration_ms(n=6, dim=2048):
     floor_s = 64 * 2.0 * dim ** 3 / V5E_PEAK_BF16_FLOPS * 0.2  # 5x peak = fake
     best = float("inf")
     accepted, tries = 0, 0
+    # Wall-clock budget: when the tunnel is in a slow phase each try costs a
+    # full dispatch round trip, and the reject-and-retry loop can eat tens of
+    # minutes (the r5 window-1 bench died to an outer timeout with 16.7 min
+    # spent HERE). The fingerprint is diagnostic, not a deliverable — take
+    # whatever was accepted when the budget runs out.
+    budget_t0 = time.perf_counter()
     while accepted < n and tries < 4 * n:
+        if time.perf_counter() - budget_t0 > 120.0 and accepted:
+            break
+        if time.perf_counter() - budget_t0 > 300.0:
+            break
         tries += 1
         # Distinct input per rep (steps > bf16 ulp at 0.001) so the
         # (program, inputs) pair is never repeated and cannot be memoized.
