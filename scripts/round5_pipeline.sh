@@ -24,7 +24,7 @@ now() { date +%s; }
 # Round started ~15:05 UTC Aug 19, ends ~03:05 UTC Aug 20. Leave >=1h
 # for the driver's end-of-round bench + commits.
 TRAIN_DEADLINE=$(date -d '2026-08-19 23:45 UTC' +%s)
-EVAL_DEADLINE=$(date -d '2026-08-20 01:50 UTC' +%s)
+EVAL_DEADLINE=$(date -d '2026-08-20 02:10 UTC' +%s)
 
 log() { echo "=== $* : $(date) ===" >> $DRIVER; }
 
