@@ -376,14 +376,10 @@ def main(argv):
             ("single_stream_slim", False, False, True),
             ("per_image_streams_slim", True, False, True),
         ):
-            if unfused:
-                os.environ["NIC_TPU_DECODE_UNFUSED"] = "1"
-            else:
-                os.environ.pop("NIC_TPU_DECODE_UNFUSED", None)
-            if slim:
-                os.environ["NIC_TPU_DECODE_SLIM"] = "1"
-            else:
-                os.environ.pop("NIC_TPU_DECODE_SLIM", None)
+            # Pin every variant explicitly ("0" = forced off) so the A/B
+            # never measures whatever codec.DECODE_DEFAULT happens to be.
+            os.environ["NIC_TPU_DECODE_UNFUSED"] = "1" if unfused else "0"
+            os.environ["NIC_TPU_DECODE_SLIM"] = "1" if slim else "0"
             blob, _ = codec.compress(xs, parallel=parallel)
             codec.decompress(blob)  # warm compiles
             best, best_host = float("inf"), 0.0

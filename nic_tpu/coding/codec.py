@@ -18,11 +18,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# The decode-path default, set to the cross-window-median verdict of
+# results/decode_rule.md (regenerate with scripts/decode_rule.py after every
+# new bench_decode artifact). tests/test_reports.py::
+# test_decode_rule_matches_default asserts this constant equals the committed
+# verdict, so a measurement-driven default change can't drift from the code.
+DECODE_DEFAULT = "single_stream_unfused"
+
+
+def _env_flag(name: str) -> Optional[bool]:
+    """Tri-state env override: unset -> None (use DECODE_DEFAULT); "0"/"" ->
+    forced off; anything else -> forced on (bench.py --decode pins every
+    variant explicitly so A/Bs never depend on the shipped default)."""
+    val = os.environ.get(name)
+    if val is None:
+        return None
+    return val not in ("", "0")
+
+
 def _decode_unfused() -> bool:
     """Select the pre-fusion decompress path (one device program per stage
-    instead of the fused two-dispatch pipeline) — measurement escape hatch
-    for bench.py --decode A/Bs, not a user knob."""
-    return bool(os.environ.get("NIC_TPU_DECODE_UNFUSED"))
+    instead of the fused two-dispatch pipeline). Selectable via
+    NIC_TPU_DECODE_UNFUSED for bench.py --decode A/Bs; default follows
+    DECODE_DEFAULT."""
+    env = _env_flag("NIC_TPU_DECODE_UNFUSED")
+    if env is not None:
+        return env
+    return DECODE_DEFAULT == "single_stream_unfused"
 
 
 def _decode_slim() -> bool:
@@ -32,8 +54,12 @@ def _decode_slim() -> bool:
     decode this cuts the tunnel traffic ~28 MB -> ~8 MB; the returned image
     equals the wide path's after PNG quantization (round(x*255)/255), which
     is exactly what the reference's decompress writes (mbt2018.py:288-295).
+    Selectable via NIC_TPU_DECODE_SLIM; default follows DECODE_DEFAULT.
     """
-    return bool(os.environ.get("NIC_TPU_DECODE_SLIM"))
+    env = _env_flag("NIC_TPU_DECODE_SLIM")
+    if env is not None:
+        return env
+    return DECODE_DEFAULT == "single_stream_slim"
 
 def _maybe_narrow(y_symbols: "np.ndarray", slim: bool) -> "np.ndarray":
     """int16 upload for the y symbols when slim and the range allows (it

@@ -116,3 +116,48 @@ def test_decode_rule_matches_artifacts():
         "decode_rule.md is stale — rerun scripts/decode_rule.py after "
         "adding/removing bench_decode artifacts"
     )
+
+
+def test_decode_rule_matches_default():
+    """codec.DECODE_DEFAULT must equal the committed decode_rule.md verdict
+    (the cross-window-median decision). Together with
+    test_decode_rule_matches_artifacts this closes the loop: artifacts ->
+    rule -> code default, none can drift from the others silently."""
+    rule = os.path.join(REPO, "results", "decode_rule.md")
+    if not os.path.exists(rule):
+        pytest.skip("no decode_rule.md committed yet")
+    m = re.search(r"\*\*Verdict[^`]*`(single_stream\w*)`", open(rule).read())
+    assert m, "decode_rule.md has no parsable verdict line"
+    from nic_tpu.coding import codec
+
+    assert codec.DECODE_DEFAULT == m.group(1), (
+        f"codec.DECODE_DEFAULT={codec.DECODE_DEFAULT!r} but decode_rule.md's "
+        f"cross-window verdict is {m.group(1)!r} — update the constant (and "
+        "its tests) together with the rule"
+    )
+
+
+def test_decode_env_flag_tristate():
+    """Env overrides: unset follows DECODE_DEFAULT; '0'/'' force off; other
+    values force on (bench.py pins variants with '0', which must NOT read as
+    truthy — it did when the flags were plain bool(os.environ.get(...)))."""
+    from nic_tpu.coding import codec
+
+    for name, fn, selected in (
+        ("NIC_TPU_DECODE_UNFUSED", codec._decode_unfused, "single_stream_unfused"),
+        ("NIC_TPU_DECODE_SLIM", codec._decode_slim, "single_stream_slim"),
+    ):
+        old = os.environ.pop(name, None)
+        try:
+            assert fn() == (codec.DECODE_DEFAULT == selected)
+            os.environ[name] = "0"
+            assert fn() is False
+            os.environ[name] = ""
+            assert fn() is False
+            os.environ[name] = "1"
+            assert fn() is True
+        finally:
+            if old is None:
+                os.environ.pop(name, None)
+            else:
+                os.environ[name] = old
