@@ -23,7 +23,7 @@ import numpy as np
 # new bench_decode artifact). tests/test_reports.py::
 # test_decode_rule_matches_default asserts this constant equals the committed
 # verdict, so a measurement-driven default change can't drift from the code.
-DECODE_DEFAULT = "single_stream_unfused"
+DECODE_DEFAULT = "single_stream_slim"
 
 
 def _env_flag(name: str) -> Optional[bool]:

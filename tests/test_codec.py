@@ -26,6 +26,38 @@ def image():
     return np.random.default_rng(3).random((2, 64, 64, 3)).astype(np.float32)
 
 
+@pytest.fixture(autouse=True)
+def _pin_wide_decode(monkeypatch):
+    """Float-exactness tests in this module target the wide fused path
+    explicitly (forced-off tri-state env flags); the shipped default
+    (codec.DECODE_DEFAULT — measurement-driven, currently the slim
+    PNG-quantized path) has its own contract test below. Tests that probe a
+    specific variant override these inside their bodies."""
+    monkeypatch.setenv("NIC_TPU_DECODE_SLIM", "0")
+    monkeypatch.setenv("NIC_TPU_DECODE_UNFUSED", "0")
+
+
+class TestDefaultDecodeContract:
+    def test_default_matches_decode_rule_contract(self, codec, image, monkeypatch):
+        """Whatever DECODE_DEFAULT is, decompress() must return either the
+        exact eval-forward reconstruction (wide paths) or its PNG
+        quantization round(x*255)/255 (slim path) — the latter is exactly
+        what the reference's decompress writes (mbt2018.py:288-295)."""
+        monkeypatch.delenv("NIC_TPU_DECODE_SLIM", raising=False)
+        monkeypatch.delenv("NIC_TPU_DECODE_UNFUSED", raising=False)
+        from nic_tpu.coding import codec as codec_mod
+
+        blob, out = codec.compress(image)
+        x_hat = codec.decompress(blob)
+        expected = np.clip(np.asarray(out["x_tilde"]), 0.0, 1.0)
+        if codec_mod.DECODE_DEFAULT == "single_stream_slim":
+            np.testing.assert_allclose(
+                x_hat, np.round(expected * 255.0) / 255.0, atol=1e-6
+            )
+        else:
+            np.testing.assert_allclose(x_hat, expected, atol=1e-5)
+
+
 class TestCodecRoundtrip:
     def test_reconstruction_matches_eval_forward(self, codec, image):
         blob, out = codec.compress(image)

@@ -114,10 +114,14 @@ class TestEndToEnd:
         rd_opt = LMBDA * res["mse"].mean() + res["est_bpp"].mean()
         assert rd_opt < rd_base, "SGA must strictly improve a trained model's RD"
 
-    def test_codec_on_trained_model(self, trained):
+    def test_codec_on_trained_model(self, trained, monkeypatch):
         from nic_tpu.coding.codec import HyperpriorCodec
         from nic_tpu.models.mbt2018 import eval_bpp
 
+        # Float-exactness vs the eval forward targets the wide decode path
+        # (the shipped slim default is PNG-quantized by contract; see
+        # tests/test_codec.py::TestDefaultDecodeContract).
+        monkeypatch.setenv("NIC_TPU_DECODE_SLIM", "0")
         model, params, x = trained
         codec = HyperpriorCodec(model, params)
         blob, out = codec.compress(x)
@@ -131,9 +135,10 @@ class TestEndToEnd:
         # On a *trained* model the actual rate should track the estimate.
         assert actual_bits < est_bits * 1.15 + 8 * 250
 
-    def test_optimized_bitstream_on_trained_model(self, trained):
+    def test_optimized_bitstream_on_trained_model(self, trained, monkeypatch):
         from nic_tpu.coding.codec import HyperpriorCodec
 
+        monkeypatch.setenv("NIC_TPU_DECODE_SLIM", "0")
         model, params, x = trained
         codec = HyperpriorCodec(model, params)
         opt = LatentOptimizer(model, params)
