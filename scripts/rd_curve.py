@@ -137,6 +137,7 @@ def main():
 
     import jax.numpy as jnp
 
+    from nic_tpu.config import get_eval_batch_size
     from nic_tpu.infer import methods as M
     from nic_tpu.infer.engine import LatentOptimizer
     from nic_tpu.models.mbt2018 import MeanScaleHyperprior
@@ -197,12 +198,23 @@ def main():
                 spec = getattr(BB, name.upper())
                 if spec.rd_iterations > 0:
                     spec = dataclasses.replace(spec, rd_iterations=args.its)
-                r = opt.optimize(X, lmbda=lmbda, spec=spec, seed=0)
+                fn = lambda xs: opt.optimize(xs, lmbda=lmbda, spec=spec, seed=0)
             elif name == "amortized":
-                r = opt.eval_amortized(X)
+                fn = opt.eval_amortized
             else:
                 spec = getattr(M, name.upper()).replace(iterations=args.its)
-                r = opt.optimize(X, lmbda=lmbda, method=spec, seed=0)
+                fn = lambda xs: opt.optimize(xs, lmbda=lmbda, method=spec, seed=0)
+            # Pixel-budget chunking (configs.py:5-9 via get_eval_batch_size),
+            # same as the CLI compress path (cli/main.py) — a 16x1200x1200
+            # eval set as ONE batch exhausts HBM on a single chip.
+            bs = get_eval_batch_size(int(np.prod(X.shape[1:3])))
+            parts = [fn(X[i : i + bs]) for i in range(0, len(X), bs)]
+            r = {
+                k: np.concatenate(
+                    [np.atleast_1d(np.asarray(p[k])) for p in parts]
+                )
+                for k in ("est_bpp", "psnr", "msssim")
+            }
             bpp = float(np.mean(r["est_bpp"]))
             psnr = float(np.mean(r["psnr"]))
             ms = float(np.mean(r["msssim"]))

@@ -78,3 +78,60 @@ class TestFindRuns:
         ]
         none = [r for r in runs if abs(r[1] - 0.02) < 1e-12]
         assert none == []
+
+
+class TestPixelBudgetChunking:
+    def test_eval_chunks_by_pixel_budget(self, tmp_path, monkeypatch):
+        """Regression: a 16x1200x1200 eval set passed to the engine as ONE
+        batch exhausted single-chip HBM (round-5 tecnick eval); rd_curve must
+        chunk by the same pixel budget the CLI compress path uses."""
+        import json
+
+        import numpy as np
+
+        import nic_tpu.config
+        import rd_curve
+        from nic_tpu.train.trainer import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            model="mbt2018", num_filters=4, lmbda=0.01, batchsize=2,
+            patchsize=64, last_step=1, checkpoint_dir=str(tmp_path / "ckpt"),
+            log_every=1, save_checkpoint_secs=10_000,
+        )
+        trainer = Trainer(cfg)
+        rng = np.random.default_rng(0)
+        trainer.fit(
+            iter([rng.random((2, 64, 64, 3), dtype=np.float32)]), verbose=False
+        )
+
+        X = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+        eval_npy = tmp_path / "eval.npy"
+        np.save(eval_npy, X)
+
+        # Budget of 2 images' pixels -> chunks of 2 + 1.
+        monkeypatch.setattr(nic_tpu.config, "EVAL_BATCH_NUM_PIXELS", 2 * 64 * 64)
+        calls = []
+        import nic_tpu.infer.engine as engine
+
+        real_eval = engine.LatentOptimizer.eval_amortized
+
+        def spy(self, x):
+            calls.append(len(x))
+            return real_eval(self, x)
+
+        monkeypatch.setattr(engine.LatentOptimizer, "eval_amortized", spy)
+        out = tmp_path / "out"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["rd_curve.py", str(eval_npy), "--checkpoint_dir", str(tmp_path / "ckpt"),
+             "--out", str(out), "--methods", "amortized,sga", "--its", "4",
+             "--num_filters", "4"],
+        )
+        rd_curve.main()
+
+        assert calls == [2, 1], calls
+        rows = json.loads((out / "rd_curve.json").read_text())
+        assert len(rows) == 1
+        m = rows[0]["methods"]
+        # Chunked means are finite and recorded for both methods.
+        assert np.isfinite(m["amortized"]["bpp"]) and np.isfinite(m["sga"]["psnr"])
