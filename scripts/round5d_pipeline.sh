@@ -13,8 +13,10 @@
 #   5. CPU follow-ups: converge_aux on bb, bd reports, cross_report.
 set -u
 cd /root/repo
-exec 9>/tmp/r5pipe.lock
-flock -n 9 || { echo "a round5 pipeline is already running; exiting"; exit 0; }
+# NOTE: not /tmp/r5pipe.lock — the still-running bb trainer inherited that
+# fd from round5c, so it stays locked until the trainer exits.
+exec 9>/tmp/r5pipe_d.lock
+flock -n 9 || { echo "round5d already running; exiting"; exit 0; }
 export PYTHONPATH=/root/.axon_site:/root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 L=/root/repo/train_logs
