@@ -80,11 +80,29 @@ while :; do
 done
 sleep 10
 
-# ---- 2. bits-back 4-point eval --------------------------------------------
-chiprun 1800 r5d-bbeval python scripts/rd_curve.py \
-  data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
-  --out results/synth3_bb --model mbt2018_bb --methods bb_plain,bb_sga \
-  --num_filters 192
+# ---- 1b. top up bb-0.08 past the 100k bar if the 1h cap cut it short ------
+step=0
+[ -f "$BB08/metrics.jsonl" ] && \
+  step=$(tail -1 "$BB08/metrics.jsonl" | python -c "import sys,json;print(json.load(sys.stdin).get('step',0))" 2>/dev/null || echo 0)
+if [ "${step:-0}" -lt 100000 ] && [ $(( CHIP_DEADLINE - $(now) )) -gt 3000 ]; then
+  chiprun 1200 r5d-bb008-topup python -m nic_tpu --num_filters 192 \
+    --checkpoint_dir checkpoints_synth3 mbt2018_bb train \
+    --train_glob 'data_synth3/train/*.png' \
+    --lambda 0.08 --batchsize 8 --patchsize 256 --last_step 100000 \
+    --save_checkpoint_secs 300 --steps_per_call 64 --retries 2 \
+    --grad_clip 10 --divergence_threshold 500
+fi
+
+bbeval_lmbda() {
+  chiprun $2 "r5d-bbeval-$1" python scripts/rd_curve.py \
+    data_synth3/eval_512x768.npy --checkpoint_dir checkpoints_synth3 \
+    --out results/synth3_bb --model mbt2018_bb --methods bb_plain,bb_sga \
+    --num_filters 192 --lmbda $1
+}
+
+# ---- 2. bits-back eval: the two NEW lambdas first (-> 4-point curve) ------
+bbeval_lmbda 0.04 900
+bbeval_lmbda 0.08 900
 
 # ---- 3. tecnick analog, per-lambda fresh processes, ends first ------------
 for lm in 0.001 0.08 0.01 0.003 0.04; do
@@ -94,7 +112,11 @@ for lm in 0.001 0.08 0.01 0.003 0.04; do
     --num_filters 192 --lmbda $lm
 done
 
-# ---- 4. photos re-eval (stretch) -------------------------------------------
+# ---- 4. stretch: refresh the old bb rows at their deepened 120k steps -----
+bbeval_lmbda 0.003 800
+bbeval_lmbda 0.01 800
+
+# ---- 5. photos re-eval (stretch) -------------------------------------------
 chiprun 1500 r5d-photos python scripts/rd_curve.py \
   data_real/eval_photos.npy --checkpoint_dir checkpoints_synth3 \
   --out results/photos_synth3 --methods amortized,sga --num_filters 192
