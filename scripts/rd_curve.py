@@ -128,10 +128,12 @@ def main():
         "bpp_back, matching the reference's bb_sga curves).",
     )
     ap.add_argument(
-        "--lmbda", type=float, default=None,
-        help="Evaluate only the run with this training lambda (default: "
-        "every run under --checkpoint_dir). For single-lambda method "
-        "sweeps that should not re-evaluate the whole curve.",
+        "--lmbda", default=None,
+        help="Evaluate only run(s) with these training lambdas (comma "
+        "list; default: every run under --checkpoint_dir). For partial "
+        "re-evals that should not re-run the whole curve; one process "
+        "for several lambdas also shares jit compilations, which "
+        "per-lambda processes pay repeatedly.",
     )
     args = ap.parse_args()
 
@@ -145,7 +147,10 @@ def main():
 
     runs = find_runs(args.checkpoint_dir, args.num_filters, args.model)
     if args.lmbda is not None:
-        runs = [r for r in runs if abs(r[1] - args.lmbda) < 1e-12]
+        wanted = [float(v) for v in str(args.lmbda).split(",")]
+        runs = [
+            r for r in runs if any(abs(r[1] - w) < 1e-12 for w in wanted)
+        ]
     if not runs:
         raise SystemExit(
             f"no {args.model}-num_filters={args.num_filters}-lmbda=* "
